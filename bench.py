@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": <e2e_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...derived throughputs}
+
+The north metric (BASELINE.json) is images/sec for encode + polygon-join +
+tile-assign; ``e2e_images`` times exactly that path over the deterministic
+synthetic images table, and ``images_per_sec`` is its throughput.  Scaling
+evidence (N vs 4N cores) is produced by scripts/run_scaling.py ->
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "1000000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import ALL_LAYERS, NATIVE_LAYERS
+    from s2_geometry_library_java_spark.operators import ann, dedup
+    from s2_geometry_library_java_spark.operators.knn import knn_join
+    from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
+    from s2_geometry_library_java_spark.operators.tiling import tile_manifest
+    from s2_geometry_library_java_spark.plans.pipeline import encode_images
+    from s2_geometry_library_java_spark.session import get_spark
+    from s2_geometry_library_java_spark.sources.images import synthetic_images
+    from s2_geometry_library_java_spark.sources.tables import geotagged_points, geotagged_queries, load_table
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    e2e_only = os.environ.get("BENCH_ONLY_E2E", "") == "1"
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    n_points = 0
+    n_matches = 0
+    if not e2e_only:
+        pts = geotagged_points(spark, sf_dir)
+        n_points = pts.count()
+
+        # encode: lat/lng -> leaf cell id over all fact points
+        enc = with_cell_id(pts)
+        timed("encode", lambda: enc.agg(F.count("cell_id")).collect())
+        extras["encode_rows_per_sec"] = round(n_points / max(timings["encode"], 1e-9))
+
+        matches = pip_join(enc, ALL_LAYERS)
+        n_matches = timed("pip_join", lambda: matches.count())
+        timed("pip_join_range", lambda: pip_join(enc, NATIVE_LAYERS, strategy="range").count())
+        timed("tile_manifest", lambda: tile_manifest(matches, tile_level=6).count())
+
+        queries = [(r["query_id"], r["qlat"], r["qlng"]) for r in geotagged_queries(spark, sf_dir, limit=8).collect()]
+        timed("knn", lambda: knn_join(enc, queries, 10).count())
+
+        docs = load_table(spark, sf_dir, "documents")
+        timed("minhash_pairs", lambda: dedup.minhash_neardup_pairs(docs, threshold=0.35).count())
+        timed("simhash", lambda: dedup.simhash_fingerprints(docs).count())
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        timed("ann_cosine", lambda: ann.cosine_topk(emb, n_queries=8, k=10).count())
+
+    # north metric: images/sec end-to-end encode + polygon-join + tile-assign.
+    # One warmup pass first: Python-worker fork+import cost is a per-executor
+    # one-time (amortized to nothing over a real corpus) and would otherwise
+    # dominate a seconds-long measurement.
+    def e2e_job(n: int) -> int:
+        imgs = synthetic_images(spark, n, with_bytes=False)
+        enc_imgs = encode_images(imgs.select("image_id", "phash"))
+        m = pip_join(enc_imgs, ALL_LAYERS)
+        return tile_manifest(m, tile_level=7).count()
+
+    e2e_job(50_000)  # warmup
+    t0 = time.time()
+    man_rows = e2e_job(N_IMAGES)
+    e2e = time.time() - t0
+    timings["e2e_images"] = round(e2e, 3)
+    extras["images_per_sec"] = round(N_IMAGES / max(e2e, 1e-9))
+    extras["n_images"] = N_IMAGES
+    extras["n_points"] = n_points
+    extras["n_matches"] = n_matches
+    extras["manifest_rows"] = man_rows
+
+    result = {
+        "metric": "images_sec_e2e_encode_join_tile",
+        "value": timings["e2e_images"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

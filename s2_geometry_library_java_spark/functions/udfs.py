@@ -1,0 +1,107 @@
+"""Vectorized pandas UDFs wrapping the NumPy cell-id kernel.
+
+Each UDF is one Arrow batch -> a handful of ufunc calls -> one Arrow batch;
+no per-row Python anywhere (BASELINE.json input_hint). The 64-bit unsigned
+cell id travels through Spark as its raw signed bit pattern
+(``uint64.view(int64)``), mirroring the reference's storage convention
+(S2CellId.java:51-60, 897-899).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType
+
+from s2_geometry_library_java_spark.kernel import cellid as ck
+
+
+def _as_uint64(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.int64).view(np.uint64)
+
+
+@pandas_udf(LongType())
+def s2_cell_id(lat_deg: pd.Series, lng_deg: pd.Series) -> pd.Series:
+    """Leaf cell id from degrees — the K23 flagship encode (S2CellId.java:148-160)."""
+    ids = ck.from_latlng_degrees(lat_deg.to_numpy(dtype=np.float64), lng_deg.to_numpy(dtype=np.float64))
+    return pd.Series(ids.view(np.int64))
+
+
+@pandas_udf(LongType())
+def s2_cell_id_at_level(lat_deg: pd.Series, lng_deg: pd.Series, level: pd.Series) -> pd.Series:
+    ids = ck.from_latlng_degrees(lat_deg.to_numpy(dtype=np.float64), lng_deg.to_numpy(dtype=np.float64))
+    ids = ck.parent(ids, level.to_numpy(dtype=np.int64))
+    return pd.Series(ids.view(np.int64))
+
+
+@pandas_udf(DoubleType())
+def s2_cell_to_lat(cell_id: pd.Series) -> pd.Series:
+    lat, _ = ck.to_latlng_radians(_as_uint64(cell_id))
+    return pd.Series(lat * (180.0 / np.pi))
+
+
+@pandas_udf(DoubleType())
+def s2_cell_to_lng(cell_id: pd.Series) -> pd.Series:
+    _, lng = ck.to_latlng_radians(_as_uint64(cell_id))
+    return pd.Series(lng * (180.0 / np.pi))
+
+
+@pandas_udf(StringType())
+def s2_token(cell_id: pd.Series) -> pd.Series:
+    return pd.Series(ck.to_token(_as_uint64(cell_id)))
+
+
+@pandas_udf(LongType())
+def s2_from_token(token: pd.Series) -> pd.Series:
+    return pd.Series(ck.from_token(token.tolist()).view(np.int64))
+
+
+@pandas_udf(IntegerType())
+def s2_level_udf(cell_id: pd.Series) -> pd.Series:
+    return pd.Series(ck.level(_as_uint64(cell_id)).astype(np.int32))
+
+
+@pandas_udf(LongType())
+def s2_parent_udf(cell_id: pd.Series, level: pd.Series) -> pd.Series:
+    """Kernel-side parent (S2CellId.java:334-338) — cross-checked against the
+    native bit formula by the driver oracle."""
+    ids = ck.parent(_as_uint64(cell_id), level.to_numpy(dtype=np.int64))
+    return pd.Series(ids.view(np.int64))
+
+
+@pandas_udf(LongType())
+def s2_range_min_udf(cell_id: pd.Series) -> pd.Series:
+    return pd.Series(ck.range_min(_as_uint64(cell_id)).view(np.int64))
+
+
+@pandas_udf(LongType())
+def s2_range_max_udf(cell_id: pd.Series) -> pd.Series:
+    return pd.Series(ck.range_max(_as_uint64(cell_id)).view(np.int64))
+
+
+@pandas_udf(BooleanType())
+def s2_contains_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Does cell a contain cell b (unsigned range test, S2CellId.java:312-315)."""
+    return pd.Series(ck.contains(_as_uint64(a), _as_uint64(b)))
+
+
+@pandas_udf(IntegerType())
+def s2_face_udf(cell_id: pd.Series) -> pd.Series:
+    return pd.Series(ck.face(_as_uint64(cell_id)).astype(np.int32))
+
+
+@pandas_udf(ArrayType(LongType()))
+def s2_all_neighbors_udf(cell_id: pd.Series, nbr_level: pd.Series) -> pd.Series:
+    """getAllNeighbors (S2CellId.java:640-682) as an array column; one kernel
+    call per (distinct nbr_level) group within the batch."""
+    ids = _as_uint64(cell_id)
+    lv = nbr_level.to_numpy(dtype=np.int64)
+    out = [None] * len(ids)
+    for l in np.unique(lv):
+        sel = np.flatnonzero(lv == l)
+        rows, nbrs = ck.get_all_neighbors(ids[sel], int(l))
+        signed = nbrs.view(np.int64)
+        for local_i, orig in enumerate(sel):
+            out[orig] = signed[rows == local_i].tolist()
+    return pd.Series(out)

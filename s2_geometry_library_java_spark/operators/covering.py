@@ -1,0 +1,85 @@
+"""Covering tables: the relational image of S2CellUnion + S2RegionCoverer.
+
+``covering_rows`` runs the deterministic coverer (S2RegionCoverer.java:56-548)
+per layer on the driver — polygon layers are the small side — and explodes
+each covering into rows
+
+    (polygon_id, cell_id, level, range_min, range_max, is_interior)
+
+exactly the shape of the reference's sorted cell index
+(S2CellUnion.java:160-198, S2EdgeIndex.java:103-154).  ``is_interior`` marks
+covering cells fully contained in the region (the
+S2RegionCoverer.getInteriorCovering split, S2RegionCoverer.java:271-310 /
+newCandidate:326-353): rows joined on interior cells skip exact refinement —
+the O5 selectivity win in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BooleanType, IntegerType, LongType, StringType, StructField, StructType
+
+from s2_geometry_library_java_spark.geometry import S2Cell, S2RegionCoverer
+from s2_geometry_library_java_spark.kernel import cellid as ck
+from s2_geometry_library_java_spark.operators.layers import Layer
+
+COVERING_SCHEMA = StructType(
+    [
+        StructField("polygon_id", StringType(), False),
+        StructField("cell_id", LongType(), False),
+        StructField("level", IntegerType(), False),
+        StructField("range_min", LongType(), False),
+        StructField("range_max", LongType(), False),
+        StructField("is_interior", BooleanType(), False),
+    ]
+)
+
+
+def covering_rows(
+    layers: list[Layer],
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = ck.MAX_LEVEL,
+    level_mod: int = 1,
+) -> list[tuple]:
+    coverer = S2RegionCoverer(max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod)
+    rows: list[tuple] = []
+    for layer in layers:
+        cells = coverer.get_covering(layer.region)
+        if cells.size == 0:
+            continue
+        levels = ck.level(cells)
+        rmin = ck.range_min(cells).view(np.int64)
+        rmax = ck.range_max(cells).view(np.int64)
+        signed = cells.view(np.int64)
+        for idx in range(cells.size):
+            interior = bool(layer.region.contains_cell(S2Cell(int(cells[idx]))))
+            rows.append(
+                (
+                    layer.polygon_id,
+                    int(signed[idx]),
+                    int(levels[idx]),
+                    int(rmin[idx]),
+                    int(rmax[idx]),
+                    interior,
+                )
+            )
+    return rows
+
+
+def covering_df(
+    spark: SparkSession,
+    layers: list[Layer],
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = ck.MAX_LEVEL,
+    level_mod: int = 1,
+) -> DataFrame:
+    rows = covering_rows(layers, max_cells, min_level, max_level, level_mod)
+    return spark.createDataFrame(rows, COVERING_SCHEMA)
+
+
+def covering_levels(rows: list[tuple]) -> list[int]:
+    """Distinct covering-cell levels — the ancestor-explode fan-out set."""
+    return sorted({r[2] for r in rows})

@@ -1,0 +1,221 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline ops, all expressed as native Spark SQL expressions
+(higher-order array functions — zero Python in the hot path) so they scale
+like any other Catalyst plan and can be oracled in DuckDB with the exact
+same arithmetic:
+
+- exact dedup: hash-groupBy on content (md5), keep min doc_id;
+- MinHash near-dup: char-shingles -> md5-derived 61-bit hash -> K universal
+  hashes (a*h+b mod 2^31-1) -> per-doc signature -> LSH band buckets ->
+  candidate pairs -> exact Jaccard verify on distinct shingle sets;
+- SimHash: token hashes -> per-bit majority vote -> 32-bit fingerprint ->
+  near-dup pairs by Hamming distance within high-half buckets.
+
+All hash arithmetic stays below 2^62, so it is identical under Java long,
+DuckDB BIGINT (which errors on overflow) and ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+SHINGLE_W = 8
+# Deterministic universal-hash parameters (a, b) — small, overflow-safe.
+MINHASH_COEFFS = [(17, 23), (31, 41), (53, 67), (79, 97), (101, 131), (151, 173),
+                  (197, 229), (251, 271), (307, 331), (353, 383), (401, 433), (457, 479)]
+LSH_BANDS = 4  # 12 hashes -> 4 bands x 3 rows
+
+
+# ---------------------------------------------------------------------------
+# Shared expression text (kept as SQL strings so the DuckDB oracle can reuse
+# the identical arithmetic; Spark parses these via F.expr).
+# ---------------------------------------------------------------------------
+def shingles_spark(col: str = "text", w: int = SHINGLE_W) -> str:
+    return f"array_distinct(transform(sequence(1, greatest(1, length({col}) - {w - 1})), i -> substr({col}, i, {w})))"
+
+
+def shingles_duck(col: str = "text", w: int = SHINGLE_W) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(1, length({col}) - {w - 1}) + 1), "
+        f"i -> substr({col}, i, {w})))"
+    )
+
+
+def hash61_spark(var: str) -> str:
+    return f"cast(conv(substr(md5({var}), 1, 15), 16, 10) as bigint) % {MINHASH_PRIME}"
+
+
+def hash61_duck(var: str) -> str:
+    return f"cast('0x' || substr(md5({var}), 1, 15) as bigint) % {MINHASH_PRIME}"
+
+
+def minhash_sig_spark(hs_col: str = "hs") -> str:
+    parts = [
+        f"array_min(transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_COEFFS
+    ]
+    return "array(" + ", ".join(parts) + ")"
+
+
+def minhash_sig_duck(hs_col: str = "hs") -> str:
+    parts = [
+        f"list_min(list_transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_COEFFS
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: one keeper row per distinct content hash.
+
+    Returns (content_hash, keeper_id, n_copies).  At scale this is a single
+    hash aggregation with map-side partials — no row ever carries the full
+    text through the shuffle, only the md5.
+    """
+    return (
+        docs.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def with_shingle_hashes(docs: DataFrame, content_col: str = "text", w: int = SHINGLE_W) -> DataFrame:
+    sh = shingles_spark(content_col, w)
+    return docs.withColumn("shingles", F.expr(sh)).withColumn(
+        "hs", F.expr(f"transform(shingles, s -> {hash61_spark('s')})")
+    )
+
+
+def minhash_signatures(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures."""
+    return with_shingle_hashes(docs, content_col).select(
+        F.col(id_col), F.expr(minhash_sig_spark()).alias("sig")
+    )
+
+
+def lsh_band_buckets(sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS) -> DataFrame:
+    """Explode signatures into (doc_id, band, band_key) bucket rows."""
+    rows_per_band = len(MINHASH_COEFFS) // bands
+    band_cols = []
+    for b in range(bands):
+        start = b * rows_per_band + 1  # slice() is 1-based
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", F.expr(f"transform(slice(sig, {start}, {rows_per_band}), x -> cast(x as string))"))
+                ).alias("band_key"),
+            )
+        )
+    return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard on distinct shingles.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    The band join is an equi-join on (band, band_key) — shuffle on a short
+    hash, never on document content; Jaccard verification touches only the
+    candidate pairs (the classic MinHash-LSH plan shape).
+    """
+    sh = with_shingle_hashes(docs, content_col).select(id_col, "shingles")
+    sigs = minhash_signatures(docs, content_col, id_col)
+    buckets = lsh_band_buckets(sigs, id_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash_spark(hs_col: str = "ths", bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"aggregate({hs_col}, 0L, (acc, h) -> acc + (case when (h >> {b}) & 1 = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when {vote} > 0 then cast({1 << b} as bigint) else 0L end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_duck(hs_col: str = "ths", bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        vote = f"list_sum(list_transform({hs_col}, h -> case when (h >> {b}) & 1 = 1 then 1 else -1 end))"
+        terms.append(f"(case when {vote} > 0 then cast({1 << b} as bigint) else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def token_hashes_spark(col: str = "text") -> str:
+    return f"transform(split({col}, ' '), t -> {hash61_spark('t')})"
+
+
+def token_hashes_duck(col: str = "text") -> str:
+    return f"list_transform(string_split({col}, ' '), t -> {hash61_duck('t')})"
+
+
+def simhash_fingerprints(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.withColumn("ths", F.expr(token_hashes_spark(content_col))).select(
+        F.col(id_col), F.expr(simhash_spark()).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed on the high half
+    (pairs within max_hamming<=16 that differ only in low bits are found; the
+    standard multi-probe trade-off; exactness is restored in the pytest
+    brute-force cross-check at small n)."""
+    fp = simhash_fingerprints(docs, content_col, id_col)
+    fp = fp.withColumn("bucket", F.shiftright(F.col("simhash"), 16))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

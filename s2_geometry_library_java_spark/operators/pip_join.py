@@ -1,0 +1,177 @@
+"""The spatial assign/refine join: point-in-region at DataFrame scale.
+
+Two candidate-generation strategies, both images of reference index queries:
+
+- **ancestor equi-join** (default): explode each point's ancestors at the
+  covering layer's distinct levels (a bounded <=30-way fan-out, pure native
+  bit math) and equi-join on cell_id — the "check all parent cells" trick of
+  S2EdgeIndex.getEdgesInParentCells (S2EdgeIndex.java:422-441) turned into a
+  shuffle-friendly, salt-able equi-join.  This is the strategy that survives
+  a 100 TB fact side: broadcast the covering when small, shuffled hash join
+  with optional salting when not.
+
+- **range join**: ``biased(cell_id) BETWEEN biased(range_min) AND
+  biased(range_max)`` against a broadcast covering — literally
+  S2CellUnion.contains (S2CellUnion.java:160-178) with the unsigned-compare
+  bias of S2CellId.java:897-899.  Broadcast-only: Catalyst executes a
+  non-equi join as BNLJ, which is fine for a small layer side and wrong
+  otherwise.
+
+Refinement then applies the exact membership predicate only to candidates
+from non-interior covering cells (O5): natively for rect/cap layers, through
+the vectorized edge-crossing-parity kernel (S2Loop.java:624-654 via
+kernel.predicates.loop_crossing_parity) inside mapInPandas for loop/polygon
+layers.  Covering cells of one region are disjoint (normalized,
+S2CellUnion.java:561-618), so no point matches a region twice — the join
+emits no duplicates by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from s2_geometry_library_java_spark.functions.native import ancestors_expr, biased
+from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
+from s2_geometry_library_java_spark.operators.covering import covering_df, covering_levels, covering_rows, COVERING_SCHEMA
+from s2_geometry_library_java_spark.operators.layers import Layer
+
+
+def with_cell_id(points: DataFrame, lat_col: str = "lat", lng_col: str = "lng", cell_col: str = "cell_id") -> DataFrame:
+    """Encode stage: add the leaf cell id (K23 kernel, one Arrow hop)."""
+    if cell_col in points.columns:
+        return points
+    return points.withColumn(cell_col, s2_cell_id(F.col(lat_col), F.col(lng_col)))
+
+
+def assign_candidates(
+    points: DataFrame,
+    polygon_cells: DataFrame,
+    levels: list[int],
+    cell_col: str = "cell_id",
+    strategy: str = "ancestor",
+    broadcast_cells: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """Candidate (point, polygon) pairs; keeps all point columns plus
+    ``polygon_id`` and ``is_interior``."""
+    cells = polygon_cells.select(
+        F.col("polygon_id"),
+        F.col("cell_id").alias("_cover_cell"),
+        F.col("range_min").alias("_rmin"),
+        F.col("range_max").alias("_rmax"),
+        F.col("is_interior"),
+    )
+
+    if strategy == "ancestor":
+        pts = points.withColumn("_anc", F.explode(ancestors_expr(F.col(cell_col), levels)))
+        if salt and not broadcast_cells:
+            # Replicate the (small) covering side across salt buckets and
+            # spread each hot covering cell's probes over them — skew
+            # mitigation for shuffled joins (SURVEY.md §4 O15).  The probe
+            # salt hashes the *leaf* id, which varies within a hot covering
+            # cell, so one hot key fans out over `salt` reducers.
+            cells = cells.withColumn("_csalt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+            pts = pts.withColumn("_psalt", F.pmod(F.xxhash64(F.col(cell_col)), F.lit(salt)).cast("int"))
+            join_on = (pts["_anc"] == cells["_cover_cell"]) & (pts["_psalt"] == cells["_csalt"])
+        else:
+            join_on = pts["_anc"] == cells["_cover_cell"]
+        right = F.broadcast(cells) if broadcast_cells else cells
+        out = pts.join(right, join_on, "inner")
+        return out.drop("_anc", "_cover_cell", "_rmin", "_rmax", "_psalt", "_csalt")
+
+    if strategy == "range":
+        b = biased(F.col(cell_col))
+        out = points.join(
+            F.broadcast(cells),
+            (b >= biased(F.col("_rmin"))) & (b <= biased(F.col("_rmax"))),
+            "inner",
+        )
+        return out.drop("_cover_cell", "_rmin", "_rmax")
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def refine_candidates(
+    candidates: DataFrame,
+    layers: list[Layer],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Exact membership filter on non-interior candidates (boundary cells).
+
+    Single-pass: one boolean predicate combining the native rect/cap tests
+    (codegen'd CASE chain) with one vectorized parity-kernel pandas UDF for
+    loop/polygon layers — the source is scanned exactly once regardless of
+    the layer mix (no union of per-kind branches)."""
+    native = [l for l in layers if l.native_predicate(F.col(lat_col), F.col(lng_col)) is not None]
+    native_ids = {l.polygon_id for l in native}
+    kernel_layers = [l for l in layers if l.polygon_id not in native_ids]
+
+    cond: Column = F.col("is_interior")
+    if native:
+        pred: Column = F.lit(False)
+        for layer in native:
+            pred = F.when(
+                F.col("polygon_id") == F.lit(layer.polygon_id),
+                layer.native_predicate(F.col(lat_col), F.col(lng_col)),
+            ).otherwise(pred)
+        cond = cond | pred
+
+    if kernel_layers:
+        by_id = {l.polygon_id: l for l in kernel_layers}
+
+        @pandas_udf(BooleanType())
+        def parity_contains(pid_s: pd.Series, lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+            keep = np.zeros(len(pid_s), dtype=bool)
+            if len(pid_s):
+                lat = lat_s.to_numpy(dtype=np.float64)
+                lng = lng_s.to_numpy(dtype=np.float64)
+                pid_arr = pid_s.to_numpy()
+                for pid in np.unique(pid_arr):
+                    layer = by_id.get(pid)
+                    if layer is None:
+                        continue  # native-layer row; decided by the CASE chain
+                    idx = np.flatnonzero(pid_arr == pid)
+                    keep[idx] = layer.contains_points(lat[idx], lng[idx])
+            return pd.Series(keep)
+
+        cond = cond | parity_contains(F.col("polygon_id"), F.col(lat_col), F.col(lng_col))
+
+    return candidates.filter(cond)
+
+
+def pip_join(
+    points: DataFrame,
+    layers: list[Layer],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    max_cells: int = 8,
+    min_level: int = 0,
+    # 12, not 30: a deep single-child chain in a covering (legal coverer
+    # tunneling, S2RegionCoverer.java:480) would add one ancestor-explode row
+    # per extra level for EVERY fact row; boundary coarseness is cheaper to
+    # absorb in the vectorized refine than level fan-out is in the join.
+    max_level: int = 12,
+    strategy: str = "ancestor",
+    broadcast_cells: bool = True,
+    salt: int | None = None,
+    precomputed_cells: list[tuple] | None = None,
+) -> DataFrame:
+    """points x layers -> rows of points matched with ``polygon_id``."""
+    spark = points.sparkSession
+    rows = precomputed_cells if precomputed_cells is not None else covering_rows(
+        layers, max_cells=max_cells, min_level=min_level, max_level=max_level
+    )
+    cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
+    pts = with_cell_id(points, lat_col, lng_col, cell_col)
+    cand = assign_candidates(
+        pts, cells_df, covering_levels(rows), cell_col, strategy, broadcast_cells, salt
+    )
+    refined = refine_candidates(cand, layers, lat_col, lng_col)
+    return refined.drop("is_interior")

@@ -1,0 +1,179 @@
+"""Training-data-pipeline ops: dedup (exact/MinHash/SimHash), text analysis,
+and embedding similarity — each cross-checked against a NumPy/pure-Python
+brute-force oracle (SURVEY.md §5 style 3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators import ann, dedup, text
+from s2_geometry_library_java_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    return pdf["vec_id"].to_numpy(), np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+def test_exact_dedup(docs, docs_pdf):
+    out = dedup.exact_dedup(docs).collect()
+    by_text = {}
+    for r in docs_pdf.itertuples(index=False):
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    assert len(out) == len(by_text)
+    got = {r["keeper_id"]: r["n_copies"] for r in out}
+    expect = {min(v): len(v) for v in by_text.values()}
+    assert got == expect
+
+
+def _shingle_set(t, w=dedup.SHINGLE_W):
+    if len(t) < w:
+        return {t[:w]} if t else set()
+    return {t[i : i + w] for i in range(len(t) - w + 1)}
+
+
+def test_minhash_neardup_finds_true_jaccard_pairs(docs, docs_pdf):
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.35).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # every reported pair must have the true Jaccard it claims
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs_pdf.itertuples(index=False)}
+    for (a, b), j in got.items():
+        sa, sb = sets[a], sets[b]
+        true_j = len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(true_j, abs=1e-9)
+        assert true_j >= 0.35
+    # LSH candidates, then verified — recall over truly-high-similarity pairs
+    # must be high (identical signatures collide in every band)
+    truth = []
+    ids = list(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                truth.append((min(a, b), max(a, b)))
+    if truth:
+        found = sum(1 for p in truth if p in got)
+        assert found / len(truth) >= 0.8
+
+
+def test_simhash_fingerprint_matches_scalar_oracle(docs, docs_pdf):
+    import hashlib
+
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    for r in docs_pdf.head(50).itertuples(index=False):
+        votes = np.zeros(dedup.SIMHASH_BITS, dtype=np.int64)
+        for tok in r.text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dedup.MINHASH_PRIME
+            for b in range(dedup.SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        expect = sum(1 << b for b in range(dedup.SIMHASH_BITS) if votes[b] > 0)
+        assert out[r.doc_id] == expect
+
+
+def test_simhash_neardup_pairs_hamming(docs):
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=10).collect()
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    for r in pairs:
+        assert bin(fps[r["id_a"]] ^ fps[r["id_b"]]).count("1") == r["hamming"] <= 10
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def test_text_profile(docs, docs_pdf):
+    prof = {r["doc_id"]: r for r in text.text_profile(docs).collect()}
+    import hashlib
+
+    for r in docs_pdf.head(50).itertuples(index=False):
+        p = prof[r.doc_id]
+        toks = r.text.split(" ")
+        assert p["n_ws_tokens"] == len(toks)
+        assert p["n_chars"] == len(r.text)
+        assert p["fp_md5"] == hashlib.md5(r.text.encode()).hexdigest()
+        stop = sum(toks.count(w) for w in text.EN_STOPWORDS)
+        assert p["stopword_ratio"] == pytest.approx(stop / len(toks), abs=1e-9)
+        assert p["lang_guess"] in ("en", "fr", "de")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+def _brute_topk(ids, mat, n_queries, k):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    expect = {}
+    for q in range(n_queries):
+        order = sorted(((-sims[q, j], ids[j]) for j in range(len(ids)) if ids[j] != ids[q]))
+        expect[ids[q]] = [int(v) for _, v in order[:k]]
+    return expect
+
+
+def test_cosine_topk_matches_bruteforce(emb, emb_np):
+    ids, mat = emb_np
+    k, nq = 5, 8
+    out = ann.cosine_topk(emb, n_queries=nq, k=k).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    expect = _brute_topk(ids, mat, nq, k)
+    for q in range(nq):
+        assert got[ids[q]] == expect[ids[q]]
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """Recall check on planted clusters (the workload LSH is for); the sf
+    embeddings are isotropic noise where pruning-based ANN has no signal."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32))
+    vecs, ids = [], []
+    for c in range(10):
+        for j in range(30):
+            v = centers[c] + 0.15 * rng.standard_normal(32)
+            ids.append(c * 100 + j)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    pdf = __import__("pandas").DataFrame({"vec_id": ids, "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    mat = np.stack(vecs).astype(np.float64)
+    order = np.argsort(ids)
+    k, nq = 5, 8
+    out = ann.lsh_cosine_topk(df, dim=32, n_queries=nq, k=k).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    sids = np.array(sorted(ids))
+    smat = mat[order]
+    expect = _brute_topk(sids, smat, nq, k)
+    recalls = [len(got.get(int(sids[q]), set()) & set(expect[sids[q]])) / k for q in range(nq)]
+    assert float(np.mean(recalls)) >= 0.8
+
+
+def test_embedding_neardup(emb, emb_np):
+    ids, mat = emb_np
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    tau = 0.4
+    expect = {(int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in range(i + 1, len(ids)) if sims[i, j] >= tau - 1e-12}
+    out = {(r["id_a"], r["id_b"]) for r in ann.embedding_neardup(emb, threshold=tau).collect()}
+    # fp tolerance at the threshold boundary: compare away from the edge
+    strict = {(int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in range(i + 1, len(ids)) if sims[i, j] >= tau + 1e-9}
+    assert strict <= out <= expect

@@ -1,0 +1,107 @@
+"""M4/M5: tiling + resumable manifests, and kNN vs brute-force oracle."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.kernel import cellid as ck
+from s2_geometry_library_java_spark.kernel.predicates import haversine_radians
+from s2_geometry_library_java_spark.operators.knn import knn_join
+from s2_geometry_library_java_spark.operators.layers import rect_layer
+from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
+from s2_geometry_library_java_spark.operators.tiling import assign_tiles, read_ledger, run_tiled_write, tile_manifest
+from s2_geometry_library_java_spark.sources.tables import geotagged_points, geotagged_queries
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return geotagged_points(spark, sf_dir).cache()
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+def test_knn_matches_bruteforce(spark, sf_dir, points):
+    queries = [(r["query_id"], r["qlat"], r["qlng"]) for r in geotagged_queries(spark, sf_dir, limit=8).collect()]
+    k = 5
+    result = knn_join(points, queries, k)
+    got = {}
+    for r in result.select("query_id", "point_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["point_id"]))
+
+    pdf = points.toPandas()
+    lat = np.radians(pdf["lat"].to_numpy())
+    lng = np.radians(pdf["lng"].to_numpy())
+    ids = pdf["point_id"].to_numpy()
+    for qid, qlat, qlng in queries:
+        d = haversine_radians(np.radians(qlat), np.radians(qlng), lat, lng)
+        order = sorted(zip(d, ids))[:k]
+        expect = [(i + 1, int(pid)) for i, (_, pid) in enumerate(order)]
+        assert sorted(got[str(qid)]) == expect, f"query {qid}"
+
+
+def test_knn_k_larger_than_n(spark, points):
+    small = points.limit(3).cache()
+    res = knn_join(small, [("q0", 10.0, 10.0)], k=10)
+    assert res.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Tiling & resume
+# ---------------------------------------------------------------------------
+def test_tile_assignment_is_parent_bit_math(points):
+    df = assign_tiles(with_cell_id(points), tile_level=7)
+    rows = df.select("cell_id", "tile_id").limit(200).collect()
+    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64).view(np.uint64)
+    tiles = np.array([r["tile_id"] for r in rows], dtype=np.int64).view(np.uint64)
+    assert np.array_equal(tiles, ck.parent(ids, 7))
+
+
+def test_manifest_counts(points):
+    layers = [rect_layer("r", -60.0, -120.0, 60.0, 120.0)]
+    matches = pip_join(points, layers)
+    man = tile_manifest(matches, tile_level=4)
+    total = man.agg(F.sum("n_images")).collect()[0][0]
+    assert total == matches.count()
+
+
+def test_resumable_write_kill_and_resume(tmp_path, points):
+    layers = [rect_layer("r", -60.0, -120.0, 60.0, 120.0)]
+    matches = pip_join(points, layers)
+
+    full_dir = str(tmp_path / "full")
+    run_tiled_write(matches, full_dir, buckets=4)
+    spark = points.sparkSession
+    expect = spark.read.parquet(f"{full_dir}/bucket=*").drop("lineage_job", "lineage_part")
+
+    # killed run: crash after 2 bucket commits, then resume
+    resume_dir = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_tiled_write(matches, resume_dir, buckets=4, fail_after=2, job_id="job-a")
+    ledger = read_ledger(resume_dir)
+    assert len(ledger["committed"]) == 2
+    stats = run_tiled_write(matches, resume_dir, buckets=4, job_id="job-b")
+    assert sorted(stats["skipped"]) == sorted(ledger["committed"])
+    assert len(stats["written"]) == 2
+
+    got = spark.read.parquet(f"{resume_dir}/bucket=*").drop("lineage_job", "lineage_part")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+    # lineage: committed buckets keep the first job's id (not rewritten)
+    jobs = {
+        r["lineage_job"]
+        for r in spark.read.parquet(f"{resume_dir}/bucket=*").select("lineage_job").distinct().collect()
+    }
+    assert jobs == {"job-a", "job-b"}
+
+
+def test_ledger_idempotent_rerun(tmp_path, points):
+    layers = [rect_layer("r", 0.0, 0.0, 50.0, 50.0)]
+    matches = pip_join(points, layers)
+    out = str(tmp_path / "idem")
+    run_tiled_write(matches, out, buckets=2)
+    stats = run_tiled_write(matches, out, buckets=2)
+    assert stats["written"] == [] and sorted(stats["skipped"]) == [0, 1]

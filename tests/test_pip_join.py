@@ -1,0 +1,105 @@
+"""M3: covering assign-join + refinement vs brute-force containment oracle.
+
+Test style 3 from SURVEY.md §5 (cross-validation of two implementations):
+the distributed covering join must produce exactly the rows the per-layer
+vectorized contains() predicate produces.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators.covering import covering_df, covering_rows
+from s2_geometry_library_java_spark.operators.layers import cap_layer, loop_layer, polygon_layer, rect_layer
+from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
+from s2_geometry_library_java_spark.sources.tables import geotagged_points
+
+
+def make_layers():
+    return [
+        rect_layer("r_europe", 35.0, -10.0, 60.0, 30.0),
+        rect_layer("r_wrap", -20.0, 160.0, 20.0, -160.0),  # wraps the antimeridian
+        cap_layer("c_nyc", 40.7, -74.0, 15.0),
+        cap_layer("c_spole", -90.0, 0.0, 20.0),  # polar cap
+        loop_layer("l_tri", "0:0, 0:40, 35:20"),
+        polygon_layer("p_hole", "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35"),
+    ]
+
+
+def oracle_matches(pdf, layers):
+    lat = pdf["lat"].to_numpy()
+    lng = pdf["lng"].to_numpy()
+    out = set()
+    for layer in layers:
+        mask = layer.contains_points(lat, lng)
+        for pid in pdf["point_id"].to_numpy()[mask]:
+            out.add((int(pid), layer.polygon_id))
+    return out
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return geotagged_points(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def points_pdf(points):
+    return points.toPandas()
+
+
+@pytest.mark.parametrize("strategy", ["ancestor", "range"])
+def test_pip_join_matches_bruteforce(points, points_pdf, strategy):
+    layers = make_layers()
+    result = pip_join(points, layers, strategy=strategy)
+    got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_pip_join_salted_shuffle_same_rows(points, points_pdf):
+    layers = make_layers()
+    result = pip_join(points, layers, broadcast_cells=False, salt=4)
+    got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_no_duplicate_matches(points):
+    layers = make_layers()
+    result = pip_join(points, layers)
+    dups = result.groupBy("point_id", "polygon_id").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+
+
+def test_covering_df_shape_and_interior(spark):
+    layers = [cap_layer("c", 10.0, 20.0, 10.0)]
+    rows = covering_rows(layers, max_cells=16)
+    assert 0 < len(rows) <= 16 * 4  # denormalized bound
+    # interior cells must be contained: every point of an interior cell is in the cap
+    df = covering_df(spark, layers, max_cells=16)
+    assert df.columns == ["polygon_id", "cell_id", "level", "range_min", "range_max", "is_interior"]
+    assert df.count() == len(rows)
+    # determinism (O11): same covering on re-run
+    assert covering_rows(layers, max_cells=16) == rows
+
+
+def test_encode_stage_is_stable(points):
+    df = with_cell_id(points)
+    a = {(r["point_id"], r["cell_id"]) for r in df.select("point_id", "cell_id").collect()}
+    b = {(r["point_id"], r["cell_id"]) for r in df.select("point_id", "cell_id").collect()}
+    assert a == b
+
+
+def test_native_vs_kernel_bit_ops(spark, points):
+    """Native SQL bit formulas == NumPy kernel on the same ids (two-impl check)."""
+    from s2_geometry_library_java_spark.functions.native import level_expr, range_max_expr, range_min_expr, parent_expr
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+
+    df = with_cell_id(points).select("cell_id").limit(500)
+    rows = df.withColumn("lvl", level_expr(F.col("cell_id"))) \
+        .withColumn("p5", parent_expr(F.col("cell_id"), 5)) \
+        .withColumn("rmin", range_min_expr(F.col("cell_id"))) \
+        .withColumn("rmax", range_max_expr(F.col("cell_id"))).collect()
+    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64).view(np.uint64)
+    assert np.array_equal(np.array([r["lvl"] for r in rows]), ck.level(ids))
+    assert np.array_equal(np.array([r["p5"] for r in rows], dtype=np.int64), ck.parent(ids, 5).view(np.int64))
+    assert np.array_equal(np.array([r["rmin"] for r in rows], dtype=np.int64), ck.range_min(ids).view(np.int64))
+    assert np.array_equal(np.array([r["rmax"] for r in rows], dtype=np.int64), ck.range_max(ids).view(np.int64))
