@@ -292,6 +292,10 @@ def _values_sql(rows: list[tuple], cols: str) -> str:
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # plain decimal literals parse as DECIMAL in DuckDB; route the
+            # repr through a string->DOUBLE cast for strtod semantics
+            return f"CAST('{v!r}' AS DOUBLE)"
         return repr(v)
 
     vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
@@ -322,6 +326,104 @@ def q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("nbr", F.explode(nbrs))
         .select("token", s2_token("nbr").alias("nbr_token"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge-crossing join (the S2EdgeIndex analog, operators/edge_join.py).
+# Edges derive from o_orderkey inside a 10x10-degree box; the oracle states
+# proper crossings via the same triple-product sign arithmetic the kernel's
+# fast path uses (S2.java:248-264) — valid for generic-position data.
+# ---------------------------------------------------------------------------
+_EDGE_CTE = (
+    "SELECT o_orderkey AS edge_id, "
+    "cos((10.0 + 10.0 * (((o_orderkey * 2246822519 + 1013904223) % 4294967296) / 4294967296.0)) * 0.017453292519943295) * cos((5.0 + 10.0 * (((o_orderkey * 2654435761) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS ax, "
+    "sin((10.0 + 10.0 * (((o_orderkey * 2246822519 + 1013904223) % 4294967296) / 4294967296.0)) * 0.017453292519943295) * cos((5.0 + 10.0 * (((o_orderkey * 2654435761) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS ay, "
+    "sin((5.0 + 10.0 * (((o_orderkey * 2654435761) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS az, "
+    "cos((10.5 + 10.0 * (((o_orderkey * 3266489917 + 668265263) % 4294967296) / 4294967296.0)) * 0.017453292519943295) * cos((5.5 + 10.0 * (((o_orderkey * 2654435789 + 374761393) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS bx, "
+    "sin((10.5 + 10.0 * (((o_orderkey * 3266489917 + 668265263) % 4294967296) / 4294967296.0)) * 0.017453292519943295) * cos((5.5 + 10.0 * (((o_orderkey * 2654435789 + 374761393) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS by, "
+    "sin((5.5 + 10.0 * (((o_orderkey * 2654435789 + 374761393) % 4294967296) / 4294967296.0)) * 0.017453292519943295) AS bz "
+    "FROM orders WHERE o_orderkey % 13 = 0"
+)
+
+
+def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.operators.edge_join import crossing_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    edges = spark.sql(_EDGE_CTE)
+    return crossing_join(edges)
+
+
+_Q_EDGE_CROSSINGS_SQL = f"""
+WITH e AS ({_EDGE_CTE}),
+ p AS (
+  SELECT a.edge_id AS id_a, b.edge_id AS id_b,
+    -((a.ay * a.bz - a.az * a.by) * b.ax + (a.az * a.bx - a.ax * a.bz) * b.ay + (a.ax * a.by - a.ay * a.bx) * b.az) AS acb,
+     ((a.ay * a.bz - a.az * a.by) * b.bx + (a.az * a.bx - a.ax * a.bz) * b.by + (a.ax * a.by - a.ay * a.bx) * b.bz) AS bda,
+    -((b.ay * b.bz - b.az * b.by) * a.bx + (b.az * b.bx - b.ax * b.bz) * a.by + (b.ax * b.by - b.ay * b.bx) * a.bz) AS cbd,
+     ((b.ay * b.bz - b.az * b.by) * a.ax + (b.az * b.bx - b.ax * b.bz) * a.ay + (b.ax * b.by - b.ay * b.bx) * a.az) AS dac
+  FROM e a JOIN e b ON a.edge_id < b.edge_id)
+SELECT id_a, id_b, CAST(1 AS INT) AS crossing
+FROM p WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cell-union set ops + metric calibration (C4/C6/C7, K22) — deterministic
+# driver-side ops pinned by golden VALUES (verified against reference-test
+# ports under tests/).
+# ---------------------------------------------------------------------------
+def _setop_unions():
+    from s2_geometry_library_java_spark.geometry import S2CellUnion, S2RegionCoverer
+
+    cov = S2RegionCoverer(max_cells=12)
+    u1 = cov.get_covering_union(cap_layer("a", 20.0, 30.0, 8.0).region)
+    u2 = cov.get_covering_union(cap_layer("b", 24.0, 34.0, 8.0).region)
+    ex = S2CellUnion(u1.ids.copy())
+    ex.expand_level(4)
+    return [
+        ("union", S2CellUnion.union_of(u1, u2)),
+        ("intersection", S2CellUnion.intersection_of(u1, u2)),
+        ("expand_l4", ex),
+    ]
+
+
+def _setop_rows() -> list[tuple]:
+    rows = []
+    for op, u in _setop_unions():
+        for tok in ck.to_token(u.ids):
+            rows.append((op, tok))
+    return rows
+
+
+def q_cellunion_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(_setop_rows(), "op string, token string")
+
+
+def _metric_rows() -> list[tuple]:
+    from s2_geometry_library_java_spark.kernel import metrics as m
+
+    rows = []
+    for lv in range(0, 31):
+        rows.append(
+            (
+                lv,
+                float(m.MIN_WIDTH.get_value(lv)),
+                float(m.MAX_WIDTH.get_value(lv)),
+                float(m.AVG_AREA.get_value(lv)),
+                int(m.MIN_WIDTH.get_max_level(m.MIN_WIDTH.get_value(lv))),
+                int(m.MIN_WIDTH.get_min_level(m.MIN_WIDTH.get_value(lv))),
+            )
+        )
+    return rows
+
+
+def q_metric_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _metric_rows(),
+        "level int, min_width double, max_width double, avg_area double, max_level_rt int, min_level_rt int",
     )
 
 
@@ -509,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "covering_golden": q_covering_golden,
         "cell_neighbors": q_cell_neighbors,
+        "edge_crossings": q_edge_crossings,
+        "cellunion_setops": q_cellunion_setops,
+        "metric_levels": q_metric_levels,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
@@ -534,6 +639,12 @@ def oracle_sql() -> dict[str, str]:
             _golden_covering_rows(), "polygon_id, token, level, is_interior"
         ),
         "cell_neighbors": _values_sql(_golden_neighbor_rows(), "token, nbr_token"),
+        "edge_crossings": _Q_EDGE_CROSSINGS_SQL,
+        "cellunion_setops": _values_sql(_setop_rows(), "op, token"),
+        "metric_levels": _values_sql(
+            _metric_rows(),
+            "level, min_width, max_width, avg_area, max_level_rt, min_level_rt",
+        ),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "minhash_sigs": _Q_MINHASH_SIGS_SQL,
         "minhash_pairs": _Q_MINHASH_PAIRS_SQL,

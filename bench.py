@@ -79,19 +79,31 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         timed("ann_cosine", lambda: ann.cosine_topk(emb, n_queries=8, k=10).count())
 
-    # north metric: images/sec end-to-end encode + polygon-join + tile-assign.
-    # One warmup pass first: Python-worker fork+import cost is a per-executor
-    # one-time (amortized to nothing over a real corpus) and would otherwise
-    # dominate a seconds-long measurement.
-    def e2e_job(n: int) -> int:
-        imgs = synthetic_images(spark, n, with_bytes=False)
+    # north metric: images/sec end-to-end encode + polygon-join + tile-assign
+    # over a MATERIALIZED images table (the north rule's input is an Iceberg
+    # table; parquet stands in).  The scan projects only (image_id, phash) —
+    # column pruning skips caption/bytes exactly as a production geotag job
+    # would.  One warmup pass first: Python-worker fork+import cost is a
+    # per-executor one-time, amortized to nothing over a real corpus.
+    # Fixed 128-way layout: file/row-group count bounds read parallelism (a
+    # parquet row group is indivisible), so it must not depend on the writer's
+    # core count or the 4N-core leg of the scaling run starves on N files.
+    img_dir = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
+    if not os.path.exists(os.path.join(img_dir, "_SUCCESS")):
+        synthetic_images(spark, N_IMAGES, partitions=128, with_bytes=False).select(
+            "image_id", "caption", "phash"
+        ).write.mode("overwrite").parquet(img_dir)
+
+    def e2e_job() -> int:
+        imgs = spark.read.parquet(img_dir)
         enc_imgs = encode_images(imgs.select("image_id", "phash"))
         m = pip_join(enc_imgs, ALL_LAYERS)
         return tile_manifest(m, tile_level=7).count()
 
-    e2e_job(50_000)  # warmup
+    for _ in range(int(os.environ.get("BENCH_WARMUPS", "3"))):  # JIT + worker warmup
+        e2e_job()
     t0 = time.time()
-    man_rows = e2e_job(N_IMAGES)
+    man_rows = e2e_job()
     e2e = time.time() - t0
     timings["e2e_images"] = round(e2e, 3)
     extras["images_per_sec"] = round(N_IMAGES / max(e2e, 1e-9))

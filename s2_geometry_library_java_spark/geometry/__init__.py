@@ -13,8 +13,13 @@ from s2_geometry_library_java_spark.geometry.loop import S2Loop
 from s2_geometry_library_java_spark.geometry.polygon import S2Polygon
 from s2_geometry_library_java_spark.geometry.cellunion import S2CellUnion
 from s2_geometry_library_java_spark.geometry.coverer import S2RegionCoverer
+from s2_geometry_library_java_spark.geometry.polyline import S2Polyline
+from s2_geometry_library_java_spark.geometry.builder import BuilderOptions, S2PolygonBuilder
 
 __all__ = [
+    "S2Polyline",
+    "BuilderOptions",
+    "S2PolygonBuilder",
     "R1Interval",
     "S1Interval",
     "S2Cap",

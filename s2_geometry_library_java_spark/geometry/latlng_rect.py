@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from s2_geometry_library_java_spark.geometry.interval import R1Interval, S1Interval, M_PI, M_PI_2
+from s2_geometry_library_java_spark.geometry.interval import R1Interval, S1Interval, M_PI, M_PI_2, ieee_remainder
 from s2_geometry_library_java_spark.kernel import predicates as pr
 from s2_geometry_library_java_spark.kernel import cellid as ck
 
@@ -256,3 +256,62 @@ def _intersects_lat_edge(a: np.ndarray, b: np.ndarray, lat: float, lng: S1Interv
         if lng.contains(math.atan2(isect[1], isect[0])):
             return True
     return False
+
+
+def _ll_to_point(lat: float, lng: float) -> "np.ndarray":
+    return ck.latlng_radians_to_xyz(np.array([lat]), np.array([lng]))[0]
+
+
+def rect_point_distance(rect: S2LatLngRect, lat: float, lng: float) -> float:
+    """Min surface distance rect<->point in radians
+    (S2LatLngRect.getDistance(S2LatLng), S2LatLngRect.java:227-251)."""
+    assert not rect.is_empty()
+    if rect.lng.contains(lng):
+        return max(0.0, max(lat - rect.lat.hi, rect.lat.lo - lat))
+    interval = S1Interval(rect.lng.hi, rect.lng.complement().get_center())
+    a_lng = rect.lng.lo
+    if interval.contains(lng):
+        a_lng = rect.lng.hi
+    lo = _ll_to_point(rect.lat.lo, a_lng)
+    hi = _ll_to_point(rect.lat.hi, a_lng)
+    lo_cross_hi = _ll_to_point(0.0, ieee_remainder(a_lng - M_PI_2, 2 * M_PI))
+    p = _ll_to_point(lat, lng)
+    return float(pr.edge_distance(p[None, :], lo[None, :], hi[None, :], lo_cross_hi[None, :])[0])
+
+
+def rect_rect_distance(a: S2LatLngRect, b: S2LatLngRect) -> float:
+    """Min surface distance between rects in radians
+    (S2LatLngRect.getDistance(S2LatLngRect), S2LatLngRect.java:253-317)."""
+    assert not a.is_empty() and not b.is_empty()
+    if a.lng.intersects(b.lng):
+        if a.lat.intersects(b.lat):
+            return 0.0
+        if a.lat.lo > b.lat.hi:
+            lo, hi = b.lat.hi, a.lat.lo
+        else:
+            lo, hi = a.lat.hi, b.lat.lo
+        return hi - lo
+
+    lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+    hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+    if lo_hi.get_length() < hi_lo.get_length():
+        a_lng, b_lng = a.lng.lo, b.lng.hi
+    else:
+        a_lng, b_lng = a.lng.hi, b.lng.lo
+
+    a_lo = _ll_to_point(a.lat.lo, a_lng)
+    a_hi = _ll_to_point(a.lat.hi, a_lng)
+    a_cross = _ll_to_point(0.0, ieee_remainder(a_lng - M_PI_2, 2 * M_PI))
+    b_lo = _ll_to_point(b.lat.lo, b_lng)
+    b_hi = _ll_to_point(b.lat.hi, b_lng)
+    b_cross = _ll_to_point(0.0, ieee_remainder(b_lng - M_PI_2, 2 * M_PI))
+
+    def dist(x, u, v, ucv):
+        return float(pr.edge_distance(x[None, :], u[None, :], v[None, :], ucv[None, :])[0])
+
+    return min(
+        dist(a_lo, b_lo, b_hi, b_cross),
+        dist(a_hi, b_lo, b_hi, b_cross),
+        dist(b_lo, a_lo, a_hi, a_cross),
+        dist(b_hi, a_lo, a_hi, a_cross),
+    )

@@ -466,23 +466,20 @@ def end(lvl: int) -> np.uint64:
 # K18: token codec (S2CellId.java:439-498)
 # ---------------------------------------------------------------------------
 def to_token(ids: np.ndarray) -> np.ndarray:
-    """Hex with trailing zeros stripped; id 0 -> 'X'. Vector via char array math."""
+    """Hex with trailing zeros stripped; id 0 -> 'X'.
+
+    Fully vectorized: nibble extraction is uint64 bit math, string assembly
+    is a C-level rstrip over fixed-width byte rows (no per-row Python)."""
     ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
-    n = ids.shape[0]
     # 16 hex nibbles, most significant first.
     shifts = np.uint64(60) - np.arange(16, dtype=np.uint64) * np.uint64(4)
     nibbles = ((ids[:, None] >> shifts[None, :]) & np.uint64(0xF)).astype(np.uint8)
     chars = np.where(nibbles < 10, nibbles + ord("0"), nibbles - 10 + ord("a")).astype(np.uint8)
-    # Length = 16 - number of trailing zero nibbles (at least 1 char kept).
-    nz = nibbles != 0
-    last_nonzero = 16 - np.argmax(nz[:, ::-1], axis=1)  # 16 if none
-    out = np.empty(n, dtype=object)
-    flat = chars.tobytes()
-    for r in range(n):  # string assembly only; bit math above is columnar
-        if ids[r] == 0:
-            out[r] = "X"
-        else:
-            out[r] = flat[16 * r : 16 * r + int(last_nonzero[r])].decode("ascii")
+    fixed = np.ascontiguousarray(chars).view("S16")[:, 0]
+    out = np.char.rstrip(fixed, b"0").astype("U16").astype(object)
+    zero = ids == _U0
+    if zero.any():
+        out[zero] = "X"
     return out
 
 

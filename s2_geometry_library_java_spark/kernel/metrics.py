@@ -75,3 +75,15 @@ AVG_DIAG = Metric(1, 1.03021136949923584)  # 1.030
 
 MAX_EDGE_ASPECT = 1.44261527445268292
 MAX_DIAG_ASPECT = math.sqrt(3)
+
+
+def get_max_level_vec(metric: Metric, values):
+    """Vectorized Metric.get_max_level for dim=1 metrics (S2.java:206-218)."""
+    import numpy as np
+
+    values = np.asarray(values, dtype=np.float64)
+    assert metric.dim == 1
+    with np.errstate(divide="ignore"):
+        _, exponent = np.frexp((2.0 * metric.deriv) / values)
+    out = np.clip(exponent - 1, 0, MAX_LEVEL).astype(np.int64)
+    return np.where(values <= 0, MAX_LEVEL, out)

