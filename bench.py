@@ -40,7 +40,24 @@ def main() -> None:
     from s2_geometry_library_java_spark.sources.images import synthetic_images
     from s2_geometry_library_java_spark.sources.tables import geotagged_points, geotagged_queries, load_table
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    # Size input splits to ~4 tasks/core for the materialized images dir:
+    # narrow-schema rows compress to a few bytes, so byte-based splitting
+    # otherwise leaves cores idle (a real cluster tunes the same knob).
+    img_dir_pre = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
+    split_bytes = 16 * 1024 * 1024
+    if os.path.isdir(img_dir_pre):
+        total = sum(
+            os.path.getsize(os.path.join(img_dir_pre, f))
+            for f in os.listdir(img_dir_pre)
+            if f.endswith(".parquet")
+        )
+        if total:
+            split_bytes = max(1 << 20, total // (4 * cpus))
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(split_bytes)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

@@ -51,8 +51,8 @@ def main() -> None:
     # (both measured runs still include their own startup-free job time).
     results = {}
     for cpus in (n_small, n_big):
-        runs = [run_at(cpus, n_images, sf_dir) for _ in range(2)]
-        # best-of-2: the sandbox VM has noisy neighbors; min is the honest
+        runs = [run_at(cpus, n_images, sf_dir) for _ in range(3)]
+        # best-of-3: the sandbox VM has noisy neighbors; min is the honest
         # estimate of the machine's capability at this core count
         results[cpus] = min(runs, key=lambda r: r["queries"]["e2e_images"])
         print(f"local[{cpus}]: {results[cpus]['queries']['e2e_images']}s "
@@ -81,7 +81,7 @@ parallelism levels; fresh JVM per run via subprocess (scripts/run_scaling.py).
 Method: each leg is a fresh JVM pinned with `taskset -c 0-(N-1)` — the pin
 matters because Python UDF workers run outside Spark's task accounting, so
 an unpinned local[8] silently spreads over every core of the machine.  Each
-leg reports best-of-2 (the sandbox VM has noisy neighbors; observed
+leg reports best-of-3 (the sandbox VM has noisy neighbors; observed
 run-to-run variance on identical configs is up to 2x, which bounds how
 precisely efficiency can be measured here).
 
