@@ -223,6 +223,33 @@ _Q_PIP_COUNTS_SQL = (
 )
 
 
+def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as pip_join_rect but through the salted shuffled-hash path
+    (skew machinery, SURVEY.md §4 O15) — must produce identical rows."""
+    pts = geotagged_points(spark, sf_dir)
+    m = pip_join(pts, RECT_LAYERS, broadcast_cells=False, salt=4)
+    return m.select("point_id", "polygon_id")
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in the gate: synthesize 2000 image rows (bytes +
+    caption + phash), decode through the fake codec, verify PSNR/caption
+    invariants, roll up per fmt — rows-only (bytes are not SQL-statable)."""
+    from s2_geometry_library_java_spark.operators.images import image_stats
+    from s2_geometry_library_java_spark.sources.images import synthetic_images
+
+    stats = image_stats(synthetic_images(spark, 2000, partitions=8))
+    return (
+        stats.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("psnr").alias("min_psnr"),
+            F.sum(F.when(F.col("psnr") >= 40.0, 0).otherwise(1)).alias("psnr_violations"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covering join -> level-5 tile manifests (C5 denormalize bit math);
     tile tokens need the Hilbert decode -> no SQL oracle; total counts are
@@ -607,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_poly": _pip_query(POLY_LAYERS),
         "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
         "pip_counts": q_pip_counts,
+        "pip_join_salted": q_pip_salted,
+        "image_stats": q_image_stats,
         "tile_manifest": q_tile_manifest,
         "knn": q_knn,
         "covering_golden": q_covering_golden,
@@ -634,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),
         "pip_counts": _Q_PIP_COUNTS_SQL,
+        "pip_join_salted": _pip_oracle(RECT_LAYERS),
         "knn": _Q_KNN_SQL,
         "covering_golden": _values_sql(
             _golden_covering_rows(), "polygon_id, token, level, is_interior"

@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions: the scale story must be visible in
+explain() — column-pruned scans, a single broadcast hash join with the
+native refinement folded in, exactly one Arrow hop for the encode, and the
+salted variant shuffling instead of broadcasting."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
+from s2_geometry_library_java_spark.sources.tables import geotagged_points
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def analyzed(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return geotagged_points(spark, sf_dir)
+
+
+def test_scan_prunes_to_key_column(points):
+    # geotag derivation needs only o_orderkey; the parquet scan must not
+    # read anything else (O18 pushdown/pruning).
+    plan = plan_of(with_cell_id(points))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "o_orderkey" in m.group(1)
+    assert "o_totalprice" not in m.group(1) and "o_orderdate" not in m.group(1)
+
+
+def test_encode_is_single_arrow_hop(points):
+    plan = plan_of(with_cell_id(points))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_native_join_is_broadcast_with_folded_refinement(spark, points):
+    from __spark_entry__ import NATIVE_LAYERS
+
+    plan = plan_of(pip_join(points, NATIVE_LAYERS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the encode hop only
+    # rect/cap refinement runs inside the join condition (no extra stage)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_shuffles(spark, points):
+    from __spark_entry__ import NATIVE_LAYERS
+
+    # At sf-test sizes AQE rightly broadcast-converts anything; pin the
+    # thresholds down to see the shape this plan takes at 100 TB.
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_of(pip_join(points, NATIVE_LAYERS, broadcast_cells=False, salt=4))
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "_psalt" in plan and "_csalt" in plan  # salt is in the join keys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_poly_refinement_single_pass(spark, points):
+    from __spark_entry__ import ALL_LAYERS
+
+    plan = plan_of(pip_join(points, ALL_LAYERS))
+    # exactly two python ops: the encode and the parity refinement —
+    # proof the refine is single-pass (no union of per-kind branches)
+    assert plan.count("ArrowEvalPython") == 2
+    # and one scan of the source
+    assert plan.count("Scan parquet") == 1
