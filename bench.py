@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "1000000"))
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "8000000"))
 
 
 def main() -> None:
@@ -128,6 +128,23 @@ def main() -> None:
     extras["n_points"] = n_points
     extras["n_matches"] = n_matches
     extras["manifest_rows"] = man_rows
+
+    # Kernel micro-numbers, comparable against BASELINE.md's reference
+    # single-thread measurements (S2Projections.java:54-61: quadratic
+    # FromPoint 0.161us, ToPoint 0.116us scalar C++).
+    if not e2e_only:
+        import numpy as np
+
+        from s2_geometry_library_java_spark.kernel import cellid as ck
+
+        rng_lat = np.random.default_rng(1).uniform(-89, 89, 2_000_000)
+        rng_lng = np.random.default_rng(2).uniform(-179, 179, 2_000_000)
+        t0 = time.time()
+        ids = ck.from_latlng_degrees(rng_lat, rng_lng)
+        extras["kernel_encode_us_per_op_1thread"] = round((time.time() - t0) / 2.0, 4)
+        t0 = time.time()
+        ck.to_point(ids)
+        extras["kernel_decode_us_per_op_1thread"] = round((time.time() - t0) / 2.0, 4)
 
     result = {
         "metric": "images_sec_e2e_encode_join_tile",

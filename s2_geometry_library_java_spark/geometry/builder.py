@@ -263,17 +263,9 @@ class S2PolygonBuilder:
 # simplified: unit vertices, >=3 vertices, no self/pairwise crossings).
 # ---------------------------------------------------------------------------
 def _loop_is_valid(loop: S2Loop) -> bool:
-    if loop.n < 3:
-        return False
-    v0 = loop.vertices
-    v1 = np.roll(loop.vertices, -1, axis=0)
-    for i in range(loop.n):
-        # Non-adjacent edge pairs must not cross.
-        crossings = pr.robust_crossing(v0[i][None, :], v1[i][None, :], v0, v1)
-        for j in np.flatnonzero(crossings > 0):
-            if j != i and j != (i - 1) % loop.n and j != (i + 1) % loop.n:
-                return False
-    return True
+    from s2_geometry_library_java_spark.geometry.loop import loop_is_valid
+
+    return loop_is_valid(loop.vertices)
 
 
 def _polygon_loops_valid(loops: list[S2Loop]) -> bool:

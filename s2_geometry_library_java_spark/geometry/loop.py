@@ -157,6 +157,10 @@ class S2Loop:
             area_sum += 4 * math.pi
         return area_sum, centroid
 
+    def is_valid(self) -> bool:
+        """S2Loop.isValid (S2Loop.java:705-787)."""
+        return loop_is_valid(self.vertices)
+
     def is_normalized(self) -> bool:
         return self.get_area() <= 2 * math.pi + 1e-14
 
@@ -314,3 +318,44 @@ def _wedge_contains_or_crosses(a0, ab1, a2, b0, b2) -> int:
             return 1
         return 0 if np.array_equal(a2, b2) else -1
     return 0 if pr.ordered_ccw(a0, b0, a2, ab1) else -1
+
+
+MAX_INTERSECTION_ERROR = 1e-15  # S2Loop.java:53
+
+
+def loop_is_valid(vertices: np.ndarray) -> bool:
+    """Port of S2Loop.isValid (S2Loop.java:705-787): >=3 unit-length
+    distinct vertices, no non-adjacent edge crossings — vectorized edge
+    sweep with the reference's nearly-colinear workaround."""
+    v = np.asarray(vertices, dtype=np.float64)
+    n = v.shape[0]
+    if n < 3:
+        return False
+    if not np.allclose(np.sum(v * v, axis=1), 1.0, atol=1e-14):
+        return False
+    if len({tuple(p) for p in v}) != n:
+        return False
+    vnext = np.roll(v, -1, axis=0)
+    for a1 in range(n):
+        a2 = (a1 + 1) % n
+        crossings = pr.robust_crossing(v[a1][None, :], vnext[a1][None, :], v, vnext)
+        for b1 in np.flatnonzero(crossings > 0):
+            b2 = (int(b1) + 1) % n
+            if a1 in (int(b1), b2) or a2 == int(b1):
+                continue
+            # Ignore nearly-colinear quadruples (S2Loop.java:752-762).
+            abc = _corner_angle(v, a1, a2, int(b1))
+            abd = _corner_angle(v, a1, a2, b2)
+            near = lambda x: abs(x) <= MAX_INTERSECTION_ERROR or abs(x - math.pi) <= MAX_INTERSECTION_ERROR
+            if near(abc) and near(abd):
+                continue
+            return False
+    return True
+
+
+def _corner_angle(v: np.ndarray, i: int, j: int, k: int) -> float:
+    """S2.angle(v[i], v[j], v[k]): angle at vertex j."""
+    a = np.cross(v[i], v[j])
+    b = np.cross(v[k], v[j])
+    return float(pr.angle(a[None, :], b[None, :])[0])
+
