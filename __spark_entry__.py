@@ -181,6 +181,46 @@ SELECT point_id, rtrim(printf('%016x', cell_id), '0') AS token, TRUE AS roundtri
 """
 
 
+def q_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality aggregate: exact count of distinct level-7
+    ancestors per face (kernel UDFs vs SQL bit formulas)."""
+    df = _pseudo_cells_spark(spark, sf_dir)
+    return (
+        df.select(s2_face_udf("cell_id").alias("face"), s2_parent_udf(F.col("cell_id"), F.least(F.lit(7), F.col("lvl_in"))).alias("p7"))
+        .groupBy("face")
+        .agg(F.countDistinct("p7").alias("n_cells"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q_DISTINCT_CELLS_SQL = f"""
+WITH p AS ({_PSEUDO_SQL})
+SELECT CAST((cell_id >> 61) & 7 AS INT) AS face,
+       count(DISTINCT ((cell_id & -(CAST(1 AS BIGINT) << (2 * (30 - least(7, lvl_in)))))
+                        | (CAST(1 AS BIGINT) << (2 * (30 - least(7, lvl_in)))))) AS n_cells,
+       count(*) AS n_rows
+FROM p GROUP BY 1
+"""
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup(face, level) row counts over pseudo cells."""
+    df = _pseudo_cells_spark(spark, sf_dir)
+    return (
+        df.select(s2_face_udf("cell_id").alias("face"), s2_level_udf("cell_id").alias("lvl"))
+        .rollup("face", "lvl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q_CELL_ROLLUP_SQL = f"""
+WITH p AS ({_PSEUDO_SQL}),
+ d AS (SELECT CAST((cell_id >> 61) & 7 AS INT) AS face,
+              (30 - CAST(round(log2(cell_id & -cell_id) / 2.0) AS INT)) AS lvl
+       FROM p)
+SELECT face, lvl, count(*) AS n FROM d GROUP BY ROLLUP(face, lvl)
+"""
+
+
 def q_encode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Hilbert encode of geotagged points, rolled up by (face, coarse
     level-2 token) — no SQL oracle (the encode is the op under test; pinned
@@ -628,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cellid_bitops": q_cellid_bitops,
         "cellid_token": q_cellid_token,
+        "distinct_cells": q_distinct_cells,
+        "cell_rollup": q_cell_rollup,
         "encode_rollup": q_encode_rollup,
         "pip_join_rect": _pip_query(RECT_LAYERS),
         "pip_join_cap": _pip_query(CAP_LAYERS),
@@ -659,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cellid_bitops": _Q_CELLID_BITOPS_SQL,
         "cellid_token": _Q_CELLID_TOKEN_SQL,
+        "distinct_cells": _Q_DISTINCT_CELLS_SQL,
+        "cell_rollup": _Q_CELL_ROLLUP_SQL,
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),

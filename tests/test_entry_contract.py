@@ -38,7 +38,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
-            assert np.array_equal(av.astype(np.float64), bv.astype(np.float64)), f"{name}.{c}: float mismatch"
+            assert np.array_equal(
+                av.astype(np.float64), bv.astype(np.float64), equal_nan=True
+            ), f"{name}.{c}: float mismatch"
         else:
             assert list(map(str, av)) == list(map(str, bv)), f"{name}.{c}: value mismatch"
 
