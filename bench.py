@@ -40,9 +40,12 @@ def main() -> None:
     from s2_geometry_library_java_spark.sources.images import synthetic_images
     from s2_geometry_library_java_spark.sources.tables import geotagged_points, geotagged_queries, load_table
 
-    # Size input splits to ~4 tasks/core for the materialized images dir:
+    # Size input splits to ~1 task/core for the materialized images dir:
     # narrow-schema rows compress to a few bytes, so byte-based splitting
-    # otherwise leaves cores idle (a real cluster tunes the same knob).
+    # otherwise leaves cores idle; and each task pipelines 2 python workers,
+    # so more tasks than cores oversubscribes (A/B measured: 1 task/core
+    # beats 4 tasks/core by ~30% at 32 cores).  A real cluster tunes the
+    # same knob.
     img_dir_pre = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
     split_bytes = 16 * 1024 * 1024
     if os.path.isdir(img_dir_pre):
@@ -52,7 +55,7 @@ def main() -> None:
             if f.endswith(".parquet")
         )
         if total:
-            split_bytes = max(1 << 20, total // (4 * cpus))
+            split_bytes = max(1 << 20, total // cpus)
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",

@@ -45,13 +45,14 @@ def run_at(cpus: int, n_images: int, sf_dir: str) -> dict:
 def main() -> None:
     n_images = int(os.environ.get("SCALING_N_IMAGES", "8000000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_small, n_big = 8, 32
+    n_small = int(os.environ.get("SCALING_N_SMALL", "8"))
+    n_big = 4 * n_small
 
     # warm-up run to exclude one-time JVM/py4j startup skew from the ratio
     # (both measured runs still include their own startup-free job time).
     results = {}
     for cpus in (n_small, n_big):
-        runs = [run_at(cpus, n_images, sf_dir) for _ in range(3)]
+        runs = [run_at(cpus, n_images, sf_dir) for _ in range(int(os.environ.get("SCALING_RUNS", "3")))]
         # best-of-3: the sandbox VM has noisy neighbors; min is the honest
         # estimate of the machine's capability at this core count
         results[cpus] = min(runs, key=lambda r: r["queries"]["e2e_images"])
@@ -64,7 +65,8 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat()
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_name = os.environ.get("SCALING_OUT", "BASELINE_generated.md")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         fh.write(f"""# BENCH/BASELINE.md — scaling evidence (generated {stamp})
 
 Job: end-to-end encode + polygon-join + tile-assign over {n_images:,}
