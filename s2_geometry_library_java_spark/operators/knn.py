@@ -40,7 +40,7 @@ def knn_join(
     lat_col: str = "lat",
     lng_col: str = "lng",
     id_col: str = "point_id",
-    init_radius_rad: float = 0.05,
+    init_radius_rad: float | None = None,
     max_cells: int = 12,
 ) -> DataFrame:
     """points x queries -> (query_id, point columns, dist, rank<=k).
@@ -52,6 +52,12 @@ def knn_join(
     try:
         n_points = pts.count()
         k_eff = min(k, n_points)
+        if init_radius_rad is None:
+            # Density-derived first ring: size the cap so a uniform corpus
+            # yields ~40k candidates (few queries need a second round); cap
+            # height h = 1 - cos(r), expected points = n * h / 2.
+            target = min(max(40.0 * k_eff, 100.0), float(n_points))
+            init_radius_rad = math.acos(max(-1.0, 1.0 - 2.0 * target / max(n_points, 1)))
         unresolved = {str(q[0]): (float(q[1]), float(q[2])) for q in queries}
         resolved_parts: list[DataFrame] = []
         r = init_radius_rad
