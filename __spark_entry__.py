@@ -254,12 +254,12 @@ def _pip_oracle(layers: list[Layer]) -> str:
 
 def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = geotagged_points(spark, sf_dir)
-    m = pip_join(pts, NATIVE_LAYERS)
+    m = pip_join(pts, ALL_LAYERS)
     return m.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
 _Q_PIP_COUNTS_SQL = (
-    f"SELECT polygon_id, count(*) AS n_points FROM ({_pip_oracle(NATIVE_LAYERS)}) m GROUP BY polygon_id"
+    f"SELECT polygon_id, count(*) AS n_points FROM ({_pip_oracle(ALL_LAYERS)}) m GROUP BY polygon_id"
 )
 
 
@@ -706,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),
+        "pip_join_poly": _pip_oracle(POLY_LAYERS),
         "pip_counts": _Q_PIP_COUNTS_SQL,
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
         "knn": _Q_KNN_SQL,

@@ -64,7 +64,28 @@ class Layer:
         return None
 
     def sql_predicate(self, lat: str, lng: str) -> str | None:
-        """DuckDB SQL text computing the identical membership predicate."""
+        """DuckDB SQL text computing the identical membership predicate.
+
+        rect/cap: interval / chord arithmetic.  loop/polygon layers whose
+        loops are all CONVEX get an exact edge-plane sign test (interior of
+        a convex CCW spherical polygon = positive side of every edge's
+        great-circle plane), XOR-combined across loops exactly like
+        S2Polygon.contains (S2Polygon.java:913-928).  Non-convex loops
+        return None (parity is not a conjunction of signs)."""
+        if self.kind in ("loop", "polygon"):
+            loop_preds = []
+            for li in range(self.region.num_loops()):
+                loop = self.region.loop(li)
+                pred = _convex_loop_sql(loop, lat, lng)
+                if pred is None:
+                    return None
+                loop_preds.append(pred)
+            if not loop_preds:
+                return None
+            out = loop_preds[0]
+            for p in loop_preds[1:]:
+                out = f"({out} <> {p})"  # boolean XOR
+            return out
         if self.kind == "rect":
             p = self.params
             lat_ok = f"({lat} >= {p['lat_lo']!r} AND {lat} <= {p['lat_hi']!r})"
@@ -100,6 +121,24 @@ class Layer:
             d = xyz - self.region.axis[None, :]
             return np.sum(d * d, axis=1) <= 2.0 * self.region.height
         return self.region.contains_points(xyz)
+
+
+def _convex_loop_sql(loop, lat: str, lng: str) -> str | None:
+    """Sign-test SQL for a convex CCW loop, or None if non-convex."""
+    v = loop.vertices
+    n = v.shape[0]
+    # convex iff every corner turns CCW
+    from s2_geometry_library_java_spark.kernel import predicates as _pr
+
+    for i in range(n):
+        if _pr.robust_ccw(v[i - 1], v[i], v[(i + 1) % n]) <= 0:
+            return None
+    xs, ys, zs = xyz_sql(lat, lng)
+    terms = []
+    for i in range(n):
+        nx, ny, nz = np.cross(v[i], v[(i + 1) % n])
+        terms.append(f"(({nx!r}) * {xs} + ({ny!r}) * {ys} + ({nz!r}) * {zs} > 0.0)")
+    return "(" + " AND ".join(terms) + ")"
 
 
 def rect_layer(polygon_id: str, lat_lo: float, lng_lo: float, lat_hi: float, lng_hi: float) -> Layer:
