@@ -83,3 +83,42 @@ def covering_df(
 def covering_levels(rows: list[tuple]) -> list[int]:
     """Distinct covering-cell levels — the ancestor-explode fan-out set."""
     return sorted({r[2] for r in rows})
+
+
+def covering_df_distributed(
+    spark: SparkSession,
+    layer_specs: list[dict],
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = ck.MAX_LEVEL,
+    level_mod: int = 1,
+) -> DataFrame:
+    """Executor-side covering generation for LARGE layer sets (SURVEY.md
+    §3.2: "applyInPandas over a polygons DataFrame grouped by polygon_id
+    when layers are large").
+
+    ``layer_specs``: [{"polygon_id": ..., "kind": "rect|cap|loop|polygon",
+    ...constructor kwargs}] — the deterministic coverer runs once per layer
+    inside an applyInPandas group, so a 100k-layer dimension builds its
+    covering table with full cluster parallelism instead of on the driver.
+    Output is identical to ``covering_df`` (the coverer is deterministic)."""
+    import json
+
+    import pandas as pd
+
+    spec_rows = [(s["polygon_id"], json.dumps(s)) for s in layer_specs]
+    df = spark.createDataFrame(spec_rows, "polygon_id string, spec string")
+
+    def per_layer(pdf: pd.DataFrame) -> pd.DataFrame:
+        from s2_geometry_library_java_spark.operators.layers import cap_layer, loop_layer, polygon_layer, rect_layer
+
+        makers = {"rect": rect_layer, "cap": cap_layer, "loop": loop_layer, "polygon": polygon_layer}
+        out = []
+        for spec_json in pdf["spec"]:
+            spec = json.loads(spec_json)
+            kind = spec.pop("kind")
+            layer = makers[kind](**spec)
+            out.extend(covering_rows([layer], max_cells, min_level, max_level, level_mod))
+        return pd.DataFrame(out, columns=[f.name for f in COVERING_SCHEMA.fields])
+
+    return df.groupBy("polygon_id").applyInPandas(per_layer, COVERING_SCHEMA)

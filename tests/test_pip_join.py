@@ -103,3 +103,24 @@ def test_native_vs_kernel_bit_ops(spark, points):
     assert np.array_equal(np.array([r["p5"] for r in rows], dtype=np.int64), ck.parent(ids, 5).view(np.int64))
     assert np.array_equal(np.array([r["rmin"] for r in rows], dtype=np.int64), ck.range_min(ids).view(np.int64))
     assert np.array_equal(np.array([r["rmax"] for r in rows], dtype=np.int64), ck.range_max(ids).view(np.int64))
+
+
+def test_distributed_covering_matches_driver(spark):
+    """applyInPandas covering generation == driver-side covering_rows."""
+    from s2_geometry_library_java_spark.operators.covering import covering_df_distributed
+
+    specs = [
+        {"polygon_id": "r", "kind": "rect", "lat_lo": 10.0, "lng_lo": 10.0, "lat_hi": 30.0, "lng_hi": 40.0},
+        {"polygon_id": "c", "kind": "cap", "lat_deg": -20.0, "lng_deg": 100.0, "angle_deg": 9.0},
+        {"polygon_id": "l", "kind": "loop", "dsl": "0:0, 0:40, 35:20"},
+        {"polygon_id": "p", "kind": "polygon", "dsl": "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35"},
+    ]
+    got = {tuple(r) for r in covering_df_distributed(spark, specs, max_level=12).collect()}
+    layers = [
+        rect_layer("r", 10.0, 10.0, 30.0, 40.0),
+        cap_layer("c", -20.0, 100.0, 9.0),
+        loop_layer("l", "0:0, 0:40, 35:20"),
+        polygon_layer("p", "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35"),
+    ]
+    expect = {tuple(r) for r in covering_rows(layers, max_level=12)}
+    assert got == expect
