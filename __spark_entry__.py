@@ -223,8 +223,8 @@ SELECT face, lvl, count(*) AS n FROM d GROUP BY ROLLUP(face, lvl)
 
 def q_encode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Hilbert encode of geotagged points, rolled up by (face, coarse
-    level-2 token) — no SQL oracle (the encode is the op under test; pinned
-    by S2CellIdTest ports)."""
+    level-2 token); oracled by a pinned driver-side flat recomputation
+    (_golden_encode_rollup_sql) plus the S2CellIdTest ports."""
     pts = with_cell_id(geotagged_points(spark, sf_dir))
     return (
         pts.withColumn("face", face_expr(F.col("cell_id")))
@@ -274,7 +274,8 @@ def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in the gate: synthesize 2000 image rows (bytes +
     caption + phash), decode through the fake codec, verify PSNR/caption
-    invariants, roll up per fmt — rows-only (bytes are not SQL-statable)."""
+    invariants, roll up per fmt; oracled by a pinned flat recomputation
+    (_golden_image_stats_sql)."""
     from s2_geometry_library_java_spark.operators.images import image_stats
     from s2_geometry_library_java_spark.sources.images import synthetic_images
 
@@ -292,8 +293,8 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covering join -> level-5 tile manifests (C5 denormalize bit math);
-    tile tokens need the Hilbert decode -> no SQL oracle; total counts are
-    cross-checked via q_pip_counts."""
+    oracled by pinned VALUES where DuckDB evaluates membership + tile bit
+    math + tokens over kernel-encoded cells (_golden_tile_manifest_sql)."""
     pts = geotagged_points(spark, sf_dir)
     m = pip_join(pts, NATIVE_LAYERS)
     return tile_manifest(m, tile_level=5)
@@ -353,19 +354,36 @@ def q_covering_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("polygon_id", s2_token("cell_id").alias("token"), "level", "is_interior")
 
 
-def _values_sql(rows: list[tuple], cols: str) -> str:
-    def lit(v):
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        if isinstance(v, float):
+def _values_sql(rows: list[tuple], cols: str, casts: dict[str, str] | None = None) -> str:
+    """Pin rows as a typed VALUES relation.
+
+    ``casts`` maps column name -> SQL type; wrapped literals force the DuckDB
+    side onto the exact dtype Spark produces (bare ints parse as INTEGER, so a
+    BIGINT aggregate column needs the cast or the driver's typed value-hash
+    fails — the round-1 event_sessions lesson).
+    """
+    names = [c.strip() for c in cols.split(",")]
+    casts = casts or {}
+
+    def lit(v, col):
+        if v is None or (isinstance(v, float) and v != v):
+            s = "NULL"
+        elif isinstance(v, (bool, np.bool_)):
+            s = "TRUE" if v else "FALSE"
+        elif isinstance(v, str):
+            s = "'" + v.replace("'", "''") + "'"
+        elif isinstance(v, (float, np.floating)):
             # plain decimal literals parse as DECIMAL in DuckDB; route the
             # repr through a string->DOUBLE cast for strtod semantics
-            return f"CAST('{v!r}' AS DOUBLE)"
-        return repr(v)
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        else:
+            s = repr(int(v)) if isinstance(v, np.integer) else repr(v)
+        t = casts.get(col)
+        return f"CAST({s} AS {t})" if t else s
 
-    vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, c) for v, c in zip(row, names)) + ")" for row in rows
+    )
     return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
 
 
@@ -651,8 +669,129 @@ WITH x AS (
   SELECT user_id,
          CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_sess
   FROM x)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM s GROUP BY user_id
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Golden oracles for the encode-dependent queries (VERDICT r01 item 2).
+#
+# The Hilbert encode itself has no independent SQL statement, but each of
+# these queries is DETERMINISTIC at the gate scale, so the oracle is a
+# single-process driver-side recomputation pinned as typed VALUES — the same
+# trust model as `covering_golden`: DuckDB evaluates the SQL-statable part
+# (geotag arithmetic, rect/cap membership, tile bit math, token formatting)
+# while the NumPy kernel supplies only the encode, checking the entire
+# distributed plumbing (Arrow UDF batching, joins, rollup, aggregation)
+# against a flat local evaluation.
+# ---------------------------------------------------------------------------
+_GATE_SF = "/root/testdata/sf0.01"  # the driver's fixed correctness scale
+
+
+def _gate_cells_pdf():
+    """(point_id, lat, lng, cell_id) at the gate scale: DuckDB evaluates the
+    geotag SQL (probed bit-identical to Spark's exprs), the kernel encodes."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{_GATE_SF}/orders.parquet')"
+        )
+        pdf = con.execute(GEOTAG_POINTS_SQL).df()
+    finally:
+        con.close()
+    cid = ck.from_latlng_degrees(
+        pdf["lat"].to_numpy(dtype=np.float64), pdf["lng"].to_numpy(dtype=np.float64)
+    )
+    pdf["cell_id"] = cid.view(np.int64)
+    return pdf
+
+
+def _golden_encode_rollup_sql() -> str:
+    import pandas as pd
+
+    pdf = _gate_cells_pdf()
+    cid = pdf["cell_id"].to_numpy().view(np.uint64)
+    d = pd.DataFrame(
+        {
+            "face": (cid >> np.uint64(61)).astype(np.int64),
+            "tile2": ck.to_token(ck.parent(cid, 2)),
+        }
+    )
+    rows: list[tuple] = []
+    for (f, t), n in d.groupby(["face", "tile2"]).size().items():
+        rows.append((int(f), str(t), int(n)))
+    for f, n in d.groupby("face").size().items():
+        rows.append((int(f), None, int(n)))
+    rows.append((None, None, len(d)))
+    return _values_sql(
+        rows, "face, tile2, n", casts={"face": "INTEGER", "tile2": "VARCHAR", "n": "BIGINT"}
+    )
+
+
+def _golden_tile_manifest_sql() -> str:
+    """Membership via the layers' DuckDB predicates (independent of the
+    covering join), tile bit math + token via pure SQL over kernel cells."""
+    import duckdb
+
+    pdf = _gate_cells_pdf()
+    lsb5 = 1 << (2 * (30 - 5))
+    arms = " UNION ALL ".join(
+        f"SELECT cell_id, '{l.polygon_id}' AS polygon_id FROM pc WHERE {l.sql_predicate('lat', 'lng')}"
+        for l in NATIVE_LAYERS
+    )
+    sql = f"""
+    WITH m AS ({arms}),
+     t AS (SELECT ((cell_id & -{lsb5}) | {lsb5}) AS tile_id, polygon_id, cell_id FROM m)
+    SELECT rtrim(printf('%016x', tile_id), '0') AS tile_token, polygon_id,
+           CAST(count(*) AS BIGINT) AS n_images,
+           min(cell_id) AS min_cell, max(cell_id) AS max_cell
+    FROM t GROUP BY 1, 2
+    """
+    con = duckdb.connect()
+    try:
+        con.register("pc", pdf)
+        out = con.execute(sql).df()
+    finally:
+        con.close()
+    rows = [
+        (str(r.tile_token), str(r.polygon_id), int(r.n_images), int(r.min_cell), int(r.max_cell))
+        for r in out.itertuples(index=False)
+    ]
+    return _values_sql(
+        rows,
+        "tile_token, polygon_id, n_images, min_cell, max_cell",
+        casts={"n_images": "BIGINT", "min_cell": "BIGINT", "max_cell": "BIGINT"},
+    )
+
+
+def _golden_image_stats_sql() -> str:
+    """Flat recomputation of q_image_stats' per-fmt rollup over the 2000
+    deterministic synthetic images (same codec + PSNR math, no Spark)."""
+    import math as _math
+
+    from s2_geometry_library_java_spark.sources.images import decode_pixels, images_pandas, source_pixels
+
+    pdf = images_pandas(0, 2000)
+    stats: dict[str, list[float]] = {}
+    for row in pdf.itertuples(index=False):
+        pix = decode_pixels(row.bytes, row.w, row.h, row.fmt).astype(np.float64)
+        src = source_pixels(int(row.image_id[3:]), row.w, row.h).astype(np.float64)
+        mse = float(np.mean((pix - src) ** 2))
+        psnr = 999.0 if mse == 0.0 else 10.0 * _math.log10(255.0**2 / mse)
+        stats.setdefault(row.fmt, []).append(psnr)
+    rows = [
+        (fmt, len(ps), float(min(ps)), sum(1 for p in ps if p < 40.0))
+        for fmt, ps in sorted(stats.items())
+    ]
+    return _values_sql(
+        rows,
+        "fmt, n, min_psnr, psnr_violations",
+        casts={"n": "BIGINT", "psnr_violations": "BIGINT"},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         "cellid_token": _Q_CELLID_TOKEN_SQL,
         "distinct_cells": _Q_DISTINCT_CELLS_SQL,
         "cell_rollup": _Q_CELL_ROLLUP_SQL,
+        "encode_rollup": _golden_encode_rollup_sql(),
+        "tile_manifest": _golden_tile_manifest_sql(),
+        "image_stats": _golden_image_stats_sql(),
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),

@@ -41,6 +41,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
             assert np.array_equal(
                 av.astype(np.float64), bv.astype(np.float64), equal_nan=True
             ), f"{name}.{c}: float mismatch"
+        elif np.issubdtype(np.asarray(av).dtype, np.integer) or np.issubdtype(
+            np.asarray(bv).dtype, np.integer
+        ):
+            # Mirror the driver's TYPED value-hash: an integer column must be
+            # integer-kind on BOTH sides (DuckDB HUGEINT lands as object/float
+            # in pandas and fails the driver even when values match).
+            ak, bk = np.asarray(av).dtype.kind, np.asarray(bv).dtype.kind
+            assert ak in "iu" and bk in "iu", f"{name}.{c}: dtype kind {ak} vs {bk} (typed-hash mismatch)"
+            assert np.array_equal(
+                av.astype(np.int64), bv.astype(np.int64)
+            ), f"{name}.{c}: int mismatch"
         else:
             assert list(map(str, av)) == list(map(str, bv)), f"{name}.{c}: value mismatch"
 
