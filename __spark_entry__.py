@@ -438,7 +438,10 @@ def q_edge_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders")
     edges = spark.sql(_EDGE_CTE)
-    return crossing_join(edges)
+    # crossing > 0 keeps only proper crossings, matching the oracle's sign
+    # test by construction (crossing == 0 shared-vertex pairs can't appear in
+    # the triple-product SQL; the synthetic edges are generic-position anyway)
+    return crossing_join(edges).filter(F.col("crossing") > 0)
 
 
 _Q_EDGE_CROSSINGS_SQL = f"""

@@ -97,11 +97,14 @@ def s2_all_neighbors_udf(cell_id: pd.Series, nbr_level: pd.Series) -> pd.Series:
     call per (distinct nbr_level) group within the batch."""
     ids = _as_uint64(cell_id)
     lv = nbr_level.to_numpy(dtype=np.int64)
+    from s2_geometry_library_java_spark.operators.edge_join import regroup_sorted
+
     out = [None] * len(ids)
     for l in np.unique(lv):
         sel = np.flatnonzero(lv == l)
         rows, nbrs = ck.get_all_neighbors(ids[sel], int(l))
-        signed = nbrs.view(np.int64)
+        order = np.argsort(rows, kind="stable")
+        groups = regroup_sorted(rows[order], nbrs[order].view(np.int64), len(sel))
         for local_i, orig in enumerate(sel):
-            out[orig] = signed[rows == local_i].tolist()
+            out[orig] = groups[local_i]
     return pd.Series(out)

@@ -44,10 +44,16 @@ def _containing_cell2(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
     same_face = ck.face(a_ids) == ck.face(b_ids)
     x = a_ids ^ b_ids
     nz = x != np.uint64(0)
-    # Highest set bit position of the id xor: ids agree above bit m, so the
-    # smallest common ancestor is at level 30 - (m//2 + 1); floor(log2) is
-    # exact for the msb of a uint64 in float64.
-    m = np.where(nz, np.floor(np.log2(np.where(nz, x, np.uint64(1)).astype(np.float64))).astype(np.int64), -1)
+    # Highest set bit position of the id xor, via integer bit smearing: after
+    # OR-ing in all right shifts, s == 2^(m+1)-1, so (s >> 1) + 1 == 2^m
+    # exactly (no float rounding; a float64 log2 of the raw xor rounds up
+    # when the top 54 bits are ones, giving a one-level-coarser ancestor than
+    # S2EdgeIndex.containingCell).  2^m is an exact float64 for all m <= 63.
+    s = x.copy()
+    for sh in (1, 2, 4, 8, 16, 32):
+        s |= s >> np.uint64(sh)
+    msb = (s >> np.uint64(1)) + np.uint64(1)
+    m = np.where(nz, np.log2(msb.astype(np.float64)).astype(np.int64), -1)
     # parent(l) overwrites bit 2*(30-l) with the lsb marker, so parents are
     # equal iff the ids agree strictly above it: l_max = 30 - ceil(m/2).
     # Clamp to both inputs' own levels: when an input is itself a non-leaf
@@ -123,15 +129,21 @@ def edge_coverings(a_xyz: np.ndarray, b_xyz: np.ndarray, thicken: bool) -> tuple
     return rows[order], cells[order]
 
 
+def regroup_sorted(rows: np.ndarray, vals: np.ndarray, n: int) -> list[list]:
+    """Group (rows, vals) — rows sorted ascending — into n per-row lists in
+    O(n + len(rows)) via boundary search (the old per-row boolean scan was
+    O(n * len(rows)) per Arrow batch)."""
+    bounds = np.searchsorted(rows, np.arange(n + 1))
+    return [vals[bounds[i] : bounds[i + 1]].tolist() for i in range(n)]
+
+
 @pandas_udf(ArrayType(LongType()))
 def _edge_cover_build(ax: pd.Series, ay: pd.Series, az: pd.Series,
                       bx: pd.Series, by: pd.Series, bz: pd.Series) -> pd.Series:
     a = np.stack([ax.to_numpy(), ay.to_numpy(), az.to_numpy()], axis=1)
     b = np.stack([bx.to_numpy(), by.to_numpy(), bz.to_numpy()], axis=1)
     rows, cells = edge_coverings(a, b, thicken=True)
-    signed = cells.view(np.int64)
-    out = [signed[rows == i].tolist() for i in range(len(a))]
-    return pd.Series(out)
+    return pd.Series(regroup_sorted(rows, cells.view(np.int64), len(a)))
 
 
 @pandas_udf(ArrayType(LongType()))
@@ -140,9 +152,7 @@ def _edge_cover_query(ax: pd.Series, ay: pd.Series, az: pd.Series,
     a = np.stack([ax.to_numpy(), ay.to_numpy(), az.to_numpy()], axis=1)
     b = np.stack([bx.to_numpy(), by.to_numpy(), bz.to_numpy()], axis=1)
     rows, cells = edge_coverings(a, b, thicken=False)
-    signed = cells.view(np.int64)
-    out = [signed[rows == i].tolist() for i in range(len(a))]
-    return pd.Series(out)
+    return pd.Series(regroup_sorted(rows, cells.view(np.int64), len(a)))
 
 
 def _explode_cover(edges: DataFrame, cover_udf, id_col: str) -> DataFrame:
