@@ -105,7 +105,10 @@ def lsh_cosine_topk(
     """Approximate top-k: a candidate collides with the query in ANY table,
     under the exact bucket or any 1-bit probe flip; exact cosine re-rank.
     Recall follows the standard multi-table bound 1-(1-p^b)^T."""
-    emb_b = with_lsh_buckets(embeddings, dim, vec_col, bits, tables).cache()
+    # No cache: the query lineage re-runs the signature UDF only on the
+    # n_queries rows (filter pushes below the project), and an uncollected
+    # cache would pin executor memory for the session (round-1 leak).
+    emb_b = with_lsh_buckets(embeddings, dim, vec_col, bits, tables)
     data = emb_b.select(
         id_col, vec_col, F.posexplode("lsh_buckets").alias("table", "bucket")
     )
@@ -131,14 +134,15 @@ def lsh_cosine_topk(
     )
 
 
-def embedding_neardup(
+def embedding_neardup_brute(
     embeddings: DataFrame,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (id_a < id_b) — brute variant; the
-    LSH-bucketed variant reuses with_lsh_bucket for the 100 TB path."""
+    """All pairs with cosine >= threshold (id_a < id_b) — the row-cartesian
+    brute force, kept ONLY as the small-n correctness oracle for
+    ``embedding_neardup`` (pytest cross-check); never the scale path."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     sim = F.expr(cosine_expr("va", "vb"))
@@ -148,3 +152,159 @@ def embedding_neardup(
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 9).alias("sim"))
     )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (cosine >= threshold, id_a < id_b) as a
+    centroid-blocked similarity join — recall 1.0 by construction, unlike
+    sign-bit LSH (whose per-pair collision probability at a loose threshold
+    like 0.4 can never reach the driver's exact-match gate).
+
+    Plan (the distributed ball-partition join; same pruning idea as the
+    reference's cell-based closest-point pruning, S2PolygonBuilder.java:629+):
+
+    1. pick ``n_blocks`` deterministic centroids (lowest ids — one tiny
+       ``limit`` collect, bounded at any scale);
+    2. one Arrow-batched matmul assigns every vector to its nearest centroid
+       and records the angle to it (no shuffle);
+    3. per-block max angle (radius) is a C-row aggregate; block pair (i, j)
+       survives only if ``angle(ci, cj) <= r_i + r_j + theta`` — the angular
+       triangle inequality, so no qualifying pair can span a pruned block
+       pair (exactness);  on clustered corpora this kills almost all of the
+       C^2 pairs, on adversarially uniform data it degrades to all block
+       pairs — still each handled as ONE matmul, not a row cartesian;
+    4. points replicate once per surviving partner block (broadcast join of
+       the tiny pair list), one shuffle groups each block pair, and
+       applyInPandas does the block-pair matmul; candidates within 1e-6 of
+       the threshold are re-scored with the exact sequential fold (identical
+       operation order to Spark's aggregate(zip_with) and DuckDB's
+       list_dot_product) so results are BIT-IDENTICAL to the brute path.
+
+    Scale: each task holds two blocks of vectors; cap block width via
+    ``n_blocks`` ~ corpus_size / rows_per_task.  Skewed blocks can be salted
+    by sub-splitting ids within a block (not needed at gate scale).
+    """
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_blocks)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    @pandas_udf("struct<block:int,ang:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Cn.T
+        blk = np.argmax(S, axis=1)
+        ang = np.arccos(np.clip(S[np.arange(len(M)), blk], -1.0, 1.0))
+        return pd.DataFrame({"block": blk.astype(np.int32), "ang": ang})
+
+    pts = embeddings.select(id_col, vec_col, assign(F.col(vec_col)).alias("a")).select(
+        id_col, vec_col, F.col("a.block").alias("block"), F.col("a.ang").alias("ang")
+    )
+    radii_rows = pts.groupBy("block").agg(F.max("ang").alias("r")).collect()
+    radii = np.zeros(n_blocks)
+    for r in radii_rows:
+        radii[r["block"]] = r["r"]
+
+    cang = np.arccos(np.clip(Cn @ Cn.T, -1.0, 1.0))
+    pair_rows = [
+        (int(i), int(j))
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+        if cang[i, j] <= radii[i] + radii[j] + theta
+    ]
+    spark = embeddings.sparkSession
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+
+    left = pts.join(F.broadcast(pairs), F.col("block") == F.col("ba")).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "ba", "bb", F.lit(0).alias("side")
+    )
+    right = (
+        pts.join(F.broadcast(pairs.filter(F.col("ba") != F.col("bb"))), F.col("block") == F.col("bb"))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "ba", "bb", F.lit(1).alias("side"))
+    )
+    rep = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", left.schema["_id"].dataType),
+            StructField("id_b", left.schema["_id"].dataType),
+            StructField("_sim", DoubleType()),
+        ]
+    )
+
+    def _fold_cosine(VA: np.ndarray, VB: np.ndarray) -> np.ndarray:
+        """Cosine via strict left-fold dots — the exact operation order of
+        aggregate(zip_with(a,b,...)): acc starts at 0.0 and adds terms in
+        index order, vectorized across pairs."""
+        da = np.zeros(len(VA))
+        db = np.zeros(len(VA))
+        dab = np.zeros(len(VA))
+        for d in range(VA.shape[1]):
+            da += VA[:, d] * VA[:, d]
+            db += VB[:, d] * VB[:, d]
+            dab += VA[:, d] * VB[:, d]
+        return dab / (np.sqrt(da) * np.sqrt(db))
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "_sim": np.array([], dtype=np.float64),
+            }
+        )
+
+    def block_pair(key, pdf):
+        a_pdf = pdf[pdf["side"] == 0]
+        if not len(a_pdf):
+            return _empty()
+        ids_a = a_pdf["_id"].to_numpy()
+        A = np.stack(a_pdf["_v"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if key[0] == key[1]:
+            ids_b, B, Bn = ids_a, A, An
+        else:
+            b_pdf = pdf[pdf["side"] == 1]
+            if not len(b_pdf):
+                return _empty()
+            ids_b = b_pdf["_id"].to_numpy()
+            B = np.stack(b_pdf["_v"].to_numpy()).astype(np.float64)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = An @ Bn.T
+        ii, jj = np.nonzero(S >= threshold - 1e-6)
+        if key[0] == key[1]:
+            keep = ids_a[ii] < ids_b[jj]
+            ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return _empty()
+        sim = _fold_cosine(A[ii], B[jj])
+        ia, ib = ids_a[ii], ids_b[jj]
+        swap = ia > ib
+        out = pd.DataFrame(
+            {
+                "id_a": np.where(swap, ib, ia),
+                "id_b": np.where(swap, ia, ib),
+                "_sim": sim,
+            }
+        )
+        return out[out["_sim"] >= threshold]
+
+    res = rep.groupBy("ba", "bb").applyInPandas(block_pair, out_schema)
+    return res.select("id_a", "id_b", F.round("_sim", 9).alias("sim"))

@@ -177,3 +177,11 @@ def test_embedding_neardup(emb, emb_np):
     # fp tolerance at the threshold boundary: compare away from the edge
     strict = {(int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in range(i + 1, len(ids)) if sims[i, j] >= tau + 1e-9}
     assert strict <= out <= expect
+
+
+def test_embedding_neardup_blocked_is_bit_exact_vs_brute(emb):
+    """The centroid-blocked plan must reproduce the row-cartesian brute
+    force EXACTLY (ids and rounded sims) — recall 1.0 is the design claim."""
+    brute = {tuple(r) for r in ann.embedding_neardup_brute(emb, threshold=0.4).collect()}
+    blocked = {tuple(r) for r in ann.embedding_neardup(emb, threshold=0.4, n_blocks=8).collect()}
+    assert brute == blocked and len(brute) > 0
