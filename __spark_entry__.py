@@ -301,12 +301,10 @@ def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries flow in as a DataFrame — no driver-side collect; the operator
+    is one declarative cell-bucket join (I4 PointIndex blueprint)."""
     pts = geotagged_points(spark, sf_dir)
-    queries = [
-        (r["query_id"], r["qlat"], r["qlng"])
-        for r in geotagged_queries(spark, sf_dir, limit=KNN_NQ).collect()
-    ]
-    res = knn_join(pts, queries, KNN_K)
+    res = knn_join(pts, geotagged_queries(spark, sf_dir, limit=KNN_NQ), KNN_K)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"), "point_id", "rank"
     )

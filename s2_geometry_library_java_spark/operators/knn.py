@@ -1,96 +1,135 @@
-"""Exact kNN via cell-covering candidate rings + window top-k.
+"""Exact kNN as ONE declarative cell-bucket join — no driver loop.
 
-Blueprint: the reference's fixed-level cell-hash radius query
-(S2PolygonBuilder.PointIndex, S2PolygonBuilder.java:629-689) plus the
-cell-union ring-expansion op (S2CellUnion.expand, S2CellUnion.java:359-406).
+Blueprint: the reference's fixed-level cell-hash PointIndex
+(S2PolygonBuilder.java:629-689): pick level L with MIN_WIDTH(L) >= 2r, hash
+points into their level-L ancestor cell, and probe the <=4 vertex-neighbor
+cells of the query's cell — every point within distance r of the query is
+guaranteed to land in those buckets (the reference's merge-vertices radius
+query invariant).
 
-Algorithm (exact, not approximate):
-1. cover a cap of radius r around each query (deterministic coverer) and run
-   the ancestor equi-join to collect all points within the cap — a superset
-   of all points at distance <= r (cap membership is the exact chord test,
-   S2Cap.java:384-388);
-2. queries with >= k candidates are resolved: their true k nearest are all
-   within r, hence among the candidates.  Unresolved queries grow r by 4x
-   (the ring expansion) and repeat — bounded by r reaching pi (full sphere);
-3. exact haversine distances (S2LatLng.getDistance, S2LatLng.java:180-205)
-   and a window ``row_number() over (partition by query order by dist, id)``
-   produce the final top-k, ties broken deterministically by point id.
+Distributed plan (replaces the round-1 driver-coordinated ring loop, which
+re-ran a covering join and a ``collect()`` per radius round and could only
+take a driver-side Python list of queries):
 
-The per-iteration join is the same scan-shaped covering join as pip_join, so
-the whole operator inherits its scale story (broadcast covering, native
-refinement, no shuffle of the fact side beyond the final window).
+1. derive a density-based radius r so a uniform corpus yields ~8k candidates
+   per query, clamp so a coverage level exists (2r <= MIN_WIDTH(0));
+2. fact side: ``parent(cell_id, L)`` bucket — a native bit op, NO explode,
+   NO shuffle of the fact table;
+3. query side (a DataFrame, arbitrarily large — but broadcast here since
+   kNN query sets are small): explode the <=4 vertex neighbors, broadcast,
+   equi-join on the bucket;
+4. exact haversine + ``dist <= r`` filter; a query is RESOLVED when it has
+   >= k in-radius candidates (then its true top-k is inside, by the bucket
+   guarantee); resolution is a window count — still declarative;
+5. unresolved queries (rare: sparse corners, k > n, r clamped) fall back to
+   one broadcast-NL brute join + window top-k — exact, and when the
+   unresolved set is EMPTY, AQE's empty-relation propagation skips the
+   probe-side scan entirely, so the common case pays zero for the fallback.
+
+Two fact-side scans total (candidates + resolution agg share the cached
+encode locally; at cluster scale they are two scans of the same pruned
+columns).  No per-round driver round-trips, no ``.collect()`` anywhere.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from s2_geometry_library_java_spark.functions.native import haversine_expr
-from s2_geometry_library_java_spark.operators.layers import cap_layer
-from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
+from s2_geometry_library_java_spark.functions.native import haversine_expr, parent_expr
+from s2_geometry_library_java_spark.functions.udfs import s2_vertex_neighbors_udf
+from s2_geometry_library_java_spark.kernel import cellid as ck
+from s2_geometry_library_java_spark.kernel import metrics
+from s2_geometry_library_java_spark.operators.pip_join import with_cell_id
+
+
+def _as_query_df(points: DataFrame, queries) -> DataFrame:
+    if isinstance(queries, DataFrame):
+        return queries
+    return points.sparkSession.createDataFrame(
+        [(str(q[0]), float(q[1]), float(q[2])) for q in queries],
+        "query_id string, qlat double, qlng double",
+    )
 
 
 def knn_join(
     points: DataFrame,
-    queries: list[tuple],
+    queries,
     k: int,
     lat_col: str = "lat",
     lng_col: str = "lng",
     id_col: str = "point_id",
     init_radius_rad: float | None = None,
-    max_cells: int = 12,
+    n_points: int | None = None,
 ) -> DataFrame:
-    """points x queries -> (query_id, point columns, dist, rank<=k).
+    """points x queries -> (query_id, point columns, dist, rank <= k).
 
-    ``queries``: small driver-side list of (query_id, qlat_deg, qlng_deg).
+    ``queries``: a DataFrame with (query_id, qlat, qlng), or a small legacy
+    list of (query_id, qlat_deg, qlng_deg) tuples.  ``n_points`` sizes the
+    search radius; when None it is counted (parquet metadata scan) — pass an
+    estimate on very large inputs.
     """
-    spark = points.sparkSession
-    pts = with_cell_id(points, lat_col, lng_col).cache()
-    try:
-        n_points = pts.count()
-        k_eff = min(k, n_points)
-        if init_radius_rad is None:
-            # Density-derived first ring: size the cap so a uniform corpus
-            # yields ~40k candidates (few queries need a second round); cap
-            # height h = 1 - cos(r), expected points = n * h / 2.
-            target = min(max(40.0 * k_eff, 100.0), float(n_points))
-            init_radius_rad = math.acos(max(-1.0, 1.0 - 2.0 * target / max(n_points, 1)))
-        unresolved = {str(q[0]): (float(q[1]), float(q[2])) for q in queries}
-        resolved_parts: list[DataFrame] = []
-        r = init_radius_rad
-        while unresolved:
-            caps = [
-                cap_layer(qid, qlat, qlng, math.degrees(min(r, math.pi)))
-                for qid, (qlat, qlng) in unresolved.items()
-            ]
-            cand = pip_join(pts, caps, lat_col, lng_col, max_cells=max_cells)
-            counts = {row["polygon_id"]: row["cnt"] for row in cand.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-            done = [qid for qid in unresolved if counts.get(qid, 0) >= k_eff or r >= math.pi]
-            if done:
-                resolved_parts.append(cand.filter(F.col("polygon_id").isin(done)))
-            for qid in done:
-                del unresolved[qid]
-            r *= 4.0
+    qdf = _as_query_df(points, queries)
+    # No cache: the only eager action here is the (column-pruned) count; the
+    # candidate and fallback branches are consumed by the caller's single
+    # action, each as one scan of the pruned fact columns.
+    pts = with_cell_id(points, lat_col, lng_col)
+    if init_radius_rad is None:
+        if n_points is None:
+            n_points = pts.count()
+        # Density-derived radius: expected in-cap candidates for a
+        # uniform corpus = n * h / 2 with cap height h = 1 - cos(r);
+        # target >= 8k gives headroom so resolution rarely falls back.
+        target = max(8.0 * k, 64.0)
+        h = min(2.0, 2.0 * target / max(n_points or 1, 1))
+        init_radius_rad = math.acos(max(-1.0, 1.0 - h))
+    # A coverage level exists only while 2r <= MIN_WIDTH(0); beyond that
+    # the 4-bucket invariant breaks, so clamp and let the fallback carry
+    # the (tiny-corpus) remainder.
+    r = min(init_radius_rad, 0.49 * metrics.MIN_WIDTH.get_value(0))
+    level = min(metrics.MIN_WIDTH.get_max_level(2.0 * r), ck.MAX_LEVEL - 1)
 
-        all_cand = resolved_parts[0]
-        for p in resolved_parts[1:]:
-            all_cand = all_cand.unionByName(p)
+    q_enc = with_cell_id(qdf, "qlat", "qlng", "_qcell")
+    q_probe = q_enc.withColumn(
+        "_bucket",
+        F.explode(s2_vertex_neighbors_udf(F.col("_qcell"), F.lit(level))),
+    ).drop("_qcell")
 
-        qdf = spark.createDataFrame(
-            [(str(q[0]), float(q[1]), float(q[2])) for q in queries],
-            "query_id string, qlat double, qlng double",
-        )
-        joined = all_cand.withColumnRenamed("polygon_id", "query_id").join(F.broadcast(qdf), "query_id")
-        dist = haversine_expr(F.col("qlat"), F.col("qlng"), F.col(lat_col), F.col(lng_col))
-        w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        return (
-            joined.withColumn("dist", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k_eff)
-            .drop("qlat", "qlng")
-        )
-    finally:
-        pts.unpersist()
+    dist = haversine_expr(F.col("qlat"), F.col("qlng"), F.col(lat_col), F.col(lng_col))
+    cand = (
+        pts.withColumn("_bucket", parent_expr(F.col("cell_id"), level))
+        .join(F.broadcast(q_probe), "_bucket")
+        .drop("_bucket")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(r))
+    )
+
+    wq = Window.partitionBy("query_id")
+    wrank = wq.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    main = (
+        cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq))
+        .filter(F.col("_n_in_r") >= k)
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .drop("_n_in_r")
+    )
+
+    resolved_q = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") >= k
+    )
+    unresolved = qdf.join(resolved_q.select("query_id"), "query_id", "left_anti")
+    brute = (
+        pts.crossJoin(F.broadcast(unresolved))
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+    )
+
+    out_cols = ["query_id", *points.columns, "cell_id", "dist", "rank"]
+    seen: list[str] = []
+    for c in out_cols:
+        if c not in seen:
+            seen.append(c)
+    return main.select(*seen).unionByName(brute.select(*seen))
