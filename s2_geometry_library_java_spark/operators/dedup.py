@@ -71,6 +71,18 @@ def minhash_sig_duck(hs_col: str = "hs") -> str:
 # ---------------------------------------------------------------------------
 # Operators
 # ---------------------------------------------------------------------------
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the session's parallelism.  A compacted small input (e.g. one parquet row
+    group) otherwise serializes the expensive shingle/md5 stage on a single
+    core; a well-partitioned 100 TB input passes through untouched — the
+    guard is a no-op whenever scan parallelism already suffices."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup: one keeper row per distinct content hash.
 
@@ -87,7 +99,7 @@ def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_i
 
 def with_shingle_hashes(docs: DataFrame, content_col: str = "text", w: int = SHINGLE_W) -> DataFrame:
     sh = shingles_spark(content_col, w)
-    return docs.withColumn("shingles", F.expr(sh)).withColumn(
+    return spread(docs).withColumn("shingles", F.expr(sh)).withColumn(
         "hs", F.expr(f"transform(shingles, s -> {hash61_spark('s')})")
     )
 
@@ -127,19 +139,29 @@ def minhash_neardup_pairs(
     """LSH candidate pairs verified by exact Jaccard on distinct shingles.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    The band join is an equi-join on (band, band_key) — shuffle on a short
-    hash, never on document content; Jaccard verification touches only the
-    candidate pairs (the classic MinHash-LSH plan shape).
+    Candidate generation GROUPS the bucket rows by (band, band_key) and emits
+    in-bucket pairs with a higher-order expression — the signature stage runs
+    ONCE (a bucket self-join would recompute the shingle+md5 lineage on both
+    sides), and the only wide exchange carries (band_key, doc_id), never
+    document content.  A degenerate hot bucket emits |bucket|^2 pairs —
+    inherent to LSH banding; cap bucket width upstream if the corpus has
+    adversarial near-constant documents.  Jaccard verification touches only
+    the candidate pairs (the classic MinHash-LSH plan shape).
     """
     sh = with_shingle_hashes(docs, content_col).select(id_col, "shingles")
     sigs = minhash_signatures(docs, content_col, id_col)
     buckets = lsh_band_buckets(sigs, id_col)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -189,7 +211,7 @@ def token_hashes_duck(col: str = "text") -> str:
 
 
 def simhash_fingerprints(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.withColumn("ths", F.expr(token_hashes_spark(content_col))).select(
+    return spread(docs).withColumn("ths", F.expr(token_hashes_spark(content_col))).select(
         F.col(id_col), F.expr(simhash_spark()).alias("simhash")
     )
 

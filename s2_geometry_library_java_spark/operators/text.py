@@ -106,6 +106,9 @@ def fingerprint_exprs(dialect: str, col: str = "text") -> dict[str, str]:
 # ---------------------------------------------------------------------------
 def text_profile(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with language guess, token counts, quality metrics."""
+    from s2_geometry_library_java_spark.operators.dedup import spread
+
+    docs = spread(docs)
     cols = [F.col(id_col)]
     cols.append(F.expr(langid_case("spark", content_col)).alias("lang_guess"))
     for name, e in token_count_exprs("spark", content_col).items():
