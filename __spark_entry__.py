@@ -271,6 +271,59 @@ def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("point_id", "polygon_id")
 
 
+def q_points_any_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: points inside at least one layer (§2.7 semi join)."""
+    from s2_geometry_library_java_spark.operators.pip_join import pip_semi_join
+
+    pts = geotagged_points(spark, sf_dir)
+    return pip_semi_join(pts, ALL_LAYERS).select("point_id", "lat", "lng")
+
+
+def q_points_no_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: points outside every layer (§2.7 anti join)."""
+    from s2_geometry_library_java_spark.operators.pip_join import pip_semi_join
+
+    pts = geotagged_points(spark, sf_dir)
+    return pip_semi_join(pts, ALL_LAYERS, negate=True).select("point_id", "lat", "lng")
+
+
+def _pip_exists_oracle(layers: list[Layer], negate: bool) -> str:
+    pred = " OR ".join(f"({l.sql_predicate('lat', 'lng')})" for l in layers)
+    if negate:
+        pred = f"NOT ({pred})"
+    return f"WITH pts AS ({GEOTAG_POINTS_SQL}) SELECT point_id, lat, lng FROM pts WHERE {pred}"
+
+
+def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregate (§2.7): HyperLogLog++ distinct level-7 cells per
+    face next to the exact count; the oracled claim is exactness of the exact
+    column AND |approx - exact| <= max(1, 5% of exact) (estimator impls
+    differ between engines, so the estimate itself is not hash-compared)."""
+    df = _pseudo_cells_spark(spark, sf_dir)
+    d = df.select(
+        s2_face_udf("cell_id").alias("face"),
+        s2_parent_udf(F.col("cell_id"), F.least(F.lit(7), F.col("lvl_in"))).alias("p7"),
+    )
+    agg = d.groupBy("face").agg(
+        F.countDistinct("p7").alias("n_exact"),
+        F.approx_count_distinct("p7", rsd=0.02).alias("_n_approx"),
+    )
+    ok = F.abs(F.col("_n_approx") - F.col("n_exact")) <= F.greatest(
+        F.lit(1.0), F.lit(0.05) * F.col("n_exact")
+    )
+    return agg.select("face", "n_exact", ok.alias("approx_ok"))
+
+
+_Q_APPROX_DISTINCT_SQL = f"""
+WITH p AS ({_PSEUDO_SQL})
+SELECT CAST((cell_id >> 61) & 7 AS INT) AS face,
+       count(DISTINCT ((cell_id & -(CAST(1 AS BIGINT) << (2 * (30 - least(7, lvl_in)))))
+                        | (CAST(1 AS BIGINT) << (2 * (30 - least(7, lvl_in)))))) AS n_exact,
+       TRUE AS approx_ok
+FROM p GROUP BY 1
+"""
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in the gate: synthesize 2000 image rows (bytes +
     caption + phash), decode through the fake codec, verify PSNR/caption
@@ -817,6 +870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
         "pip_counts": q_pip_counts,
         "pip_join_salted": q_pip_salted,
+        "points_in_any_layer": q_points_any_layer,
+        "points_in_no_layer": q_points_no_layer,
+        "approx_distinct_cells": q_approx_distinct_cells,
         "image_stats": q_image_stats,
         "tile_manifest": q_tile_manifest,
         "knn": q_knn,
@@ -852,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_poly": _pip_oracle(POLY_LAYERS),
         "pip_counts": _Q_PIP_COUNTS_SQL,
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
+        "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),
+        "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
+        "approx_distinct_cells": _Q_APPROX_DISTINCT_SQL,
         "knn": _Q_KNN_SQL,
         "covering_golden": _values_sql(
             _golden_covering_rows(), "polygon_id, token, level, is_interior"

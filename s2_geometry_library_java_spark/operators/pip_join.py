@@ -146,6 +146,25 @@ def refine_candidates(
     return candidates.filter(cond)
 
 
+def pip_semi_join(
+    points: DataFrame,
+    layers: list[Layer],
+    negate: bool = False,
+    id_col: str = "point_id",
+    **pip_kwargs,
+) -> DataFrame:
+    """Points contained in ANY layer (semi) or in NO layer (anti) — the
+    §2.7 semi/anti-join category ("images inside any polygon" / "outside
+    all polygons", the most common downstream filter on a spatial join).
+
+    The match set is the covering join's id column only (no payload through
+    the shuffle); the final LEFT SEMI / LEFT ANTI is an equi-join on the
+    point id, which Catalyst executes broadcast-side when the match set is
+    small and shuffled-hash otherwise."""
+    matches = pip_join(points, layers, **pip_kwargs).select(id_col)
+    return points.join(matches, id_col, "left_anti" if negate else "left_semi")
+
+
 def choose_strategy(layers: list[Layer], approx_fact_rows: int | None = None) -> str:
     """Adaptive plan choice — the engine analog of S2EdgeIndex's lazy-build
     cost model (S2EdgeIndex.java:156-211: brute force until m>100 edges and
