@@ -165,23 +165,22 @@ def pip_semi_join(
     return points.join(matches, id_col, "left_anti" if negate else "left_semi")
 
 
-def choose_strategy(layers: list[Layer], approx_fact_rows: int | None = None) -> str:
+RANGE_BREAKEVEN_CELLS = 48
+
+
+def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
     """Adaptive plan choice — the engine analog of S2EdgeIndex's lazy-build
-    cost model (S2EdgeIndex.java:156-211: brute force until m>100 edges and
+    cost model (S2EdgeIndex.java:156-211: brute force until >100 edges and
     >30 queries make the index pay for itself).
 
-    A tiny layer side with few vertices is cheaper as a broadcast range join
-    (one BNLJ probe per fact row, no explode fan-out); past the threshold the
-    ancestor equi-join's covering build amortizes.  Mirrors the reference's
-    "index pays off at m>100" breakeven shape with the fan-out as the
-    per-probe cost."""
-    total_vertices = 0
-    for l in layers:
-        region = l.region
-        total_vertices += getattr(region, "num_vertices", 4 if l.kind in ("rect", "cap") else 8)
-    if len(layers) * 8 <= 100 and (approx_fact_rows or 0) < 1_000_000:
-        return "range"
-    return "ancestor"
+    Per-fact-row cost of the broadcast range join is ~|covering| interval
+    compares (BNLJ probe, no fan-out rows); the ancestor equi-join pays
+    |levels| exploded rows + hash probes but is O(1) in covering size.  The
+    crossover sits where the covering outgrows the explode fan-out by the
+    compare/hash cost ratio — below it the BNLJ is cheaper AND skips the
+    explode's row amplification, above it the index join amortizes exactly
+    like the reference's m>100 breakeven."""
+    return "range" if len(covering) <= RANGE_BREAKEVEN_CELLS else "ancestor"
 
 
 def pip_join(
@@ -201,16 +200,26 @@ def pip_join(
     min_level: int = 0,
     max_level: int = 12,
     level_mod: int = 1,
-    strategy: str = "ancestor",
+    strategy: str = "auto",
     broadcast_cells: bool = True,
     salt: int | None = None,
     precomputed_cells: list[tuple] | None = None,
 ) -> DataFrame:
-    """points x layers -> rows of points matched with ``polygon_id``."""
+    """points x layers -> rows of points matched with ``polygon_id``.
+
+    ``strategy="auto"`` (default) applies the I2 cost model: small coverings
+    take the broadcast range join, large ones the ancestor equi-join; a
+    shuffled or salted request forces ancestor (range is broadcast-only by
+    construction)."""
     spark = points.sparkSession
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
     )
+    if strategy == "auto":
+        if salt or not broadcast_cells:
+            strategy = "ancestor"
+        else:
+            strategy = choose_strategy(rows, covering_levels(rows))
     cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
     pts = with_cell_id(points, lat_col, lng_col, cell_col)
     cand = assign_candidates(

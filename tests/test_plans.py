@@ -43,11 +43,31 @@ def test_encode_is_single_arrow_hop(points):
 def test_native_join_is_broadcast_with_folded_refinement(spark, points):
     from __spark_entry__ import NATIVE_LAYERS
 
-    plan = plan_of(pip_join(points, NATIVE_LAYERS))
+    plan = plan_of(pip_join(points, NATIVE_LAYERS, strategy="ancestor"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" in plan  # the encode hop only
     # rect/cap refinement runs inside the join condition (no extra stage)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_strategy_small_covering_takes_range(spark, points):
+    # I2 cost model wired in: a small covering (RECT_LAYERS -> 17 cells)
+    # goes through the broadcast range join (BNLJ on the BETWEEN predicate).
+    from __spark_entry__ import RECT_LAYERS
+
+    plan = plan_of(pip_join(points, RECT_LAYERS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_auto_strategy_large_covering_takes_ancestor(spark, points):
+    # ...and a large covering (ALL_LAYERS -> 56 cells) crosses the breakeven
+    # into the ancestor-explode equi-join.
+    from __spark_entry__ import ALL_LAYERS
+
+    plan = plan_of(pip_join(points, ALL_LAYERS))
+    assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
