@@ -59,6 +59,7 @@ class S2Loop:
         self.n = self.vertices.shape[0]
         self.depth = 0
         self.bound = S2LatLngRect.full()
+        self._edge_index = None  # lazy I5 index, built on first large batch
         if not _skip_init:
             self._init_origin()
             self._init_bound()
@@ -112,14 +113,26 @@ class S2Loop:
         return bool(self.origin_inside ^ parity)
 
     def contains_points(self, pts: np.ndarray) -> np.ndarray:
-        """Vectorized batch containment: bound prefilter + parity kernel."""
+        """Vectorized batch containment: bound prefilter + parity kernel.
+
+        I5 cutover (S2Loop.java:681-702): above MAX_BRUTE_FORCE_VERTICES the
+        O(points x edges) dense kernel switches to the lazy cell-keyed edge
+        index, testing only edges whose covering cells meet each query
+        segment — identical results, per-point cost ~ local edge density."""
         pts = np.asarray(pts, dtype=np.float64)
         out = np.zeros(pts.shape[0], dtype=bool)
         lat = np.arctan2(pts[:, 2], np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2))
         lng = np.arctan2(pts[:, 1], pts[:, 0])
         in_bound = _rect_contains_vec(self.bound, lat, lng)
         if in_bound.any():
-            parity = pr.loop_crossing_parity(self.vertices, pts[in_bound])
+            from s2_geometry_library_java_spark.geometry import loop_index as li
+
+            if self.n >= li.MAX_BRUTE_FORCE_VERTICES:
+                if self._edge_index is None:
+                    self._edge_index = li.LoopEdgeIndex(self.vertices)
+                parity = li.sparse_crossing_parity(self.vertices, pts[in_bound], self._edge_index)
+            else:
+                parity = pr.loop_crossing_parity(self.vertices, pts[in_bound])
             out[in_bound] = self.origin_inside ^ parity
         return out
 
@@ -167,6 +180,7 @@ class S2Loop:
     def invert(self) -> None:
         # S2Loop.invert (S2Loop.java:259-278)
         self.vertices = self.vertices[::-1].copy()
+        self._edge_index = None  # edge order changed; lazy index is stale
         self.origin_inside ^= True
         if self.bound.lat.lo > -M_PI_2 and self.bound.lat.hi < M_PI_2:
             self.bound = S2LatLngRect.full()
