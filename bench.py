@@ -142,12 +142,26 @@ def main() -> None:
 
         rng_lat = np.random.default_rng(1).uniform(-89, 89, 2_000_000)
         rng_lng = np.random.default_rng(2).uniform(-179, 179, 2_000_000)
-        t0 = time.time()
+
+        def best_of(fn, reps: int = 3) -> float:
+            # standard micro practice: one warmup (page faults, allocator),
+            # then best-of-reps — the un-warmed single-shot number in r01
+            # overstated the kernel by ~2x on this noisy VM.
+            fn()
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return best
+
         ids = ck.from_latlng_degrees(rng_lat, rng_lng)
-        extras["kernel_encode_us_per_op_1thread"] = round((time.time() - t0) / 2.0, 4)
-        t0 = time.time()
-        ck.to_point(ids)
-        extras["kernel_decode_us_per_op_1thread"] = round((time.time() - t0) / 2.0, 4)
+        extras["kernel_encode_us_per_op_1thread"] = round(
+            best_of(lambda: ck.from_latlng_degrees(rng_lat, rng_lng)) / 2.0, 4
+        )
+        extras["kernel_decode_us_per_op_1thread"] = round(
+            best_of(lambda: ck.to_point(ids)) / 2.0, 4
+        )
 
     result = {
         "metric": "images_sec_e2e_encode_join_tile",

@@ -104,6 +104,35 @@ def _init_lookup_tables() -> tuple[np.ndarray, np.ndarray]:
 
 LOOKUP_POS, LOOKUP_IJ = _init_lookup_tables()
 
+
+def _init_lookup_tables8() -> tuple[np.ndarray, np.ndarray]:
+    """8-bit Hilbert tables composed from the 4-bit ones, vectorized.
+
+    One 8-bit round == two chained 4-bit rounds (the orientation threads
+    through), so the encode/decode loops drop from 8 table gathers to 4 —
+    the single hottest cost in the kernel micro.  2^18 int32 entries = 1 MB
+    per table; built in a handful of whole-array ops at import."""
+    idx = np.arange(1 << 18, dtype=np.int64)
+    # encode: key = (i8 << 10) | (j8 << 2) | o
+    i8 = (idx >> 10) & 0xFF
+    j8 = (idx >> 2) & 0xFF
+    o = idx & 3
+    v1 = LOOKUP_POS[o + ((i8 >> 4) << (LOOKUP_BITS + 2)) + ((j8 >> 4) << 2)]
+    v2 = LOOKUP_POS[(v1 & 3) + ((i8 & 15) << (LOOKUP_BITS + 2)) + ((j8 & 15) << 2)]
+    lookup_pos8 = ((((v1 >> 2) << 8) | (v2 >> 2)) << 2) | (v2 & 3)
+    # decode: key = (pos16 << 2) | o
+    pos16 = idx >> 2
+    w1 = LOOKUP_IJ[o + ((pos16 >> 8) << 2)]
+    w2 = LOOKUP_IJ[(w1 & 3) + ((pos16 & 0xFF) << 2)]
+    i_hi, j_hi = (w1 >> 2) >> LOOKUP_BITS, (w1 >> 2) & 15
+    i_lo, j_lo = (w2 >> 2) >> LOOKUP_BITS, (w2 >> 2) & 15
+    ij = (((i_hi << 4) | i_lo) << 8) | ((j_hi << 4) | j_lo)
+    lookup_ij8 = (ij << 2) | (w2 & 3)
+    return lookup_pos8.astype(np.int64), lookup_ij8.astype(np.int64)
+
+
+LOOKUP_POS8, LOOKUP_IJ8 = _init_lookup_tables8()
+
 # ---------------------------------------------------------------------------
 # Projection tables (S2Projections.java:271-412):
 # faceUvToXyz(face,u,v) == NORM[face] + u*U_AXIS[face] + v*V_AXIS[face]
@@ -219,24 +248,21 @@ def st_to_ij(s: np.ndarray) -> np.ndarray:
 # K8: fromFaceIJ — vectorized 8-round Hilbert encode (S2CellId.java:691-731)
 # ---------------------------------------------------------------------------
 def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """4 rounds over the composed 8-bit tables — bit-identical to the
+    reference's 8x4-bit loop (each 8-bit round IS two chained 4-bit rounds
+    by construction of LOOKUP_POS8)."""
     face = np.asarray(face, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
-    n0 = np.zeros(face.shape, dtype=np.uint64)
-    n1 = face.astype(np.uint64) << np.uint64(POS_BITS - 33)  # face << 28
+    acc = face.astype(np.uint64) << np.uint64(POS_BITS - 1)  # face << 60
     bits = face & SWAP_MASK
-    mask = (1 << LOOKUP_BITS) - 1
-    for k in range(7, -1, -1):
-        bits = bits + (((i >> (k * LOOKUP_BITS)) & mask) << (LOOKUP_BITS + 2))
-        bits = bits + (((j >> (k * LOOKUP_BITS)) & mask) << 2)
-        bits = LOOKUP_POS[bits]
-        chunk = (bits >> 2).astype(np.uint64) << np.uint64((k & 3) * 2 * LOOKUP_BITS)
-        if k >> 2 == 0:
-            n0 |= chunk
-        else:
-            n1 |= chunk
+    for k in range(3, -1, -1):
+        bits = bits + (((i >> (k * 8)) & 0xFF) << 10)
+        bits = bits + (((j >> (k * 8)) & 0xFF) << 2)
+        bits = LOOKUP_POS8[bits]
+        acc |= (bits >> 2).astype(np.uint64) << np.uint64(k * 16)
         bits = bits & (SWAP_MASK | INVERT_MASK)
-    return (((n1 << _U32) + n0) << _U1) + _U1
+    return (acc << _U1) + _U1
 
 
 # ---------------------------------------------------------------------------
@@ -250,13 +276,15 @@ def to_face_ij_orientation(
     bits = face & SWAP_MASK
     i = np.zeros(ids.shape, dtype=np.int64)
     j = np.zeros(ids.shape, dtype=np.int64)
-    for k in range(7, -1, -1):
-        nbits = (MAX_LEVEL - 7 * LOOKUP_BITS) if k == 7 else LOOKUP_BITS
-        extract = ((ids >> np.uint64(k * 2 * LOOKUP_BITS + 1)) & np.uint64((1 << (2 * nbits)) - 1)).astype(np.int64)
+    # 4 rounds over the composed 8-bit tables (bit-identical to the 8x4-bit
+    # reference loop); the top round carries only 30-3*8=6 i/j bits.
+    for k in range(3, -1, -1):
+        nbits = (MAX_LEVEL - 3 * 8) if k == 3 else 8
+        extract = ((ids >> np.uint64(k * 16 + 1)) & np.uint64((1 << (2 * nbits)) - 1)).astype(np.int64)
         bits = bits + (extract << 2)
-        bits = LOOKUP_IJ[bits]
-        i = i + ((bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS))
-        j = j + (((bits >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS))
+        bits = LOOKUP_IJ8[bits]
+        i = i + ((bits >> 10) << (k * 8))
+        j = j + (((bits >> 2) & 0xFF) << (k * 8))
         bits = bits & (SWAP_MASK | INVERT_MASK)
     orientation = None
     if want_orientation:
@@ -277,6 +305,24 @@ def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray
     return FACE_NORMS[face] + u * FACE_U_AXES[face] + v * FACE_V_AXES[face]
 
 
+def _face_uv_to_xyz_cols(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """faceUvToXyz as where-chains on columns — the same per-face component
+    table as FACE_NORMS/U_AXES/V_AXES (S2Projections.java:271-286) without
+    the three (n,3) gathers; products with 0/±1 are exact, so results are
+    bit-identical to face_uv_to_xyz."""
+    f = np.asarray(face, dtype=np.int64)
+    one = np.ones_like(u)
+    nu, nv = -u, -v
+    x = np.where(f == 0, one, np.where(f <= 2, nu, np.where(f == 3, -one, v)))
+    y = np.where((f == 0) | (f == 5), u, np.where(f == 1, one, np.where(f == 4, -one, nv)))
+    z = np.where(f <= 1, v, np.where(f == 2, one, np.where(f == 5, -one, nu)))
+    out = np.empty(f.shape + (3,), dtype=np.float64)
+    out[..., 0] = x
+    out[..., 1] = y
+    out[..., 2] = z
+    return out
+
+
 def to_point_raw(ids: np.ndarray) -> np.ndarray:
     """Cell center direction vector, not unit length (S2CellId.java:170-199)."""
     ids = np.asarray(ids, dtype=np.uint64)
@@ -290,14 +336,16 @@ def to_point_raw(ids: np.ndarray) -> np.ndarray:
     k_scale = 1.0 / MAX_SIZE
     u = st_to_uv(k_scale * si)
     v = st_to_uv(k_scale * ti)
-    return face_uv_to_xyz(face, u, v)
+    return _face_uv_to_xyz_cols(face, u, v)
 
 
 def to_point(ids: np.ndarray) -> np.ndarray:
     raw = to_point_raw(ids)
+    # norm >= 1 always (one raw component is exactly +-1), so the old
+    # norm != 0 guard was dead; keep the reciprocal-multiply order for
+    # bit-stable outputs.
     norm = np.sqrt(np.sum(raw * raw, axis=-1, keepdims=True))
-    inv = np.where(norm != 0, 1.0 / norm, 0.0)
-    return raw * inv
+    return raw * (1.0 / norm)
 
 
 def to_latlng_radians(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -307,20 +355,44 @@ def to_latlng_radians(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 # K23: full encode compositions (S2CellId.java:148-160)
 # ---------------------------------------------------------------------------
+def _face_uv_cols(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Fused xyzToFace + validFaceXyzToUv on separate coordinate columns.
+
+    Identical selections to the table-gather versions (xyz_to_face /
+    valid_face_xyz_to_uv) expressed as where-chains over 1-D arrays — no
+    (n,3) interleaved layout, no take_along_axis gathers, which dominated
+    the encode micro."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    den = np.where(axis == 0, x, np.where(axis == 1, y, z))
+    face = np.where(den < 0, axis + 3, axis)
+    # pu numerator per face: [+y, -x, -x, +z, +z, -y] (S2Projections.java:288-319)
+    pu_num = np.where(face == 0, y, np.where(face <= 2, -x, np.where(face <= 4, z, -y)))
+    # pv numerator per face: [+z, +z, -y, +y, -x, -x]
+    pv_num = np.where(face <= 1, z, np.where(face == 2, -y, np.where(face == 3, y, -x)))
+    return face, pu_num / den, pv_num / den
+
+
 def from_xyz(xyz: np.ndarray) -> np.ndarray:
-    face = xyz_to_face(xyz)
-    pu, pv = valid_face_xyz_to_uv(face, xyz)
+    face, pu, pv = _face_uv_cols(xyz[..., 0], xyz[..., 1], xyz[..., 2])
     i = st_to_ij(uv_to_st(pu))
     j = st_to_ij(uv_to_st(pv))
     return from_face_ij(face, i, j)
 
 
 def from_latlng_degrees(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
-    return from_xyz(latlng_degrees_to_xyz(lat_deg, lng_deg))
+    return from_latlng_radians(np.asarray(lat_deg, dtype=np.float64) * _DEG2RAD,
+                               np.asarray(lng_deg, dtype=np.float64) * _DEG2RAD)
 
 
 def from_latlng_radians(lat_rad: np.ndarray, lng_rad: np.ndarray) -> np.ndarray:
-    return from_xyz(latlng_radians_to_xyz(lat_rad, lng_rad))
+    phi = np.asarray(lat_rad, dtype=np.float64)
+    theta = np.asarray(lng_rad, dtype=np.float64)
+    cosphi = np.cos(phi)
+    face, pu, pv = _face_uv_cols(np.cos(theta) * cosphi, np.sin(theta) * cosphi, np.sin(phi))
+    i = st_to_ij(uv_to_st(pu))
+    j = st_to_ij(uv_to_st(pv))
+    return from_face_ij(face, i, j)
 
 
 # ---------------------------------------------------------------------------
