@@ -824,23 +824,16 @@ def _golden_tile_manifest_sql() -> str:
 
 def _golden_image_stats_sql() -> str:
     """Flat recomputation of q_image_stats' per-fmt rollup over the 2000
-    deterministic synthetic images (same codec + PSNR math, no Spark)."""
-    import math as _math
+    deterministic synthetic images — through the SAME batch-stats helper the
+    Spark operator uses (identical FP operation order by construction)."""
+    from s2_geometry_library_java_spark.operators.images import image_stats_pandas
+    from s2_geometry_library_java_spark.sources.images import images_pandas
 
-    from s2_geometry_library_java_spark.sources.images import decode_pixels, images_pandas, source_pixels
-
-    pdf = images_pandas(0, 2000)
-    stats: dict[str, list[float]] = {}
-    for row in pdf.itertuples(index=False):
-        pix = decode_pixels(row.bytes, row.w, row.h, row.fmt).astype(np.float64)
-        src = source_pixels(int(row.image_id[3:]), row.w, row.h).astype(np.float64)
-        mse = float(np.mean((pix - src) ** 2))
-        psnr = 999.0 if mse == 0.0 else 10.0 * _math.log10(255.0**2 / mse)
-        stats.setdefault(row.fmt, []).append(psnr)
-    rows = [
-        (fmt, len(ps), float(min(ps)), sum(1 for p in ps if p < 40.0))
-        for fmt, ps in sorted(stats.items())
-    ]
+    stats = image_stats_pandas(images_pandas(0, 2000))
+    rows = []
+    for fmt, grp in sorted(stats.groupby("fmt"), key=lambda t: t[0]):
+        ps = grp["psnr"].to_numpy()
+        rows.append((str(fmt), len(ps), float(ps.min()), int((ps < 40.0).sum())))
     return _values_sql(
         rows,
         "fmt, n, min_psnr, psnr_violations",

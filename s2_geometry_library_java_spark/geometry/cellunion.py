@@ -126,6 +126,19 @@ class S2CellUnion:
     def union_of(x: "S2CellUnion", y: "S2CellUnion") -> "S2CellUnion":
         return S2CellUnion(np.concatenate([x.ids, y.ids]))
 
+    def intersection_with_cell(self, cell_id: np.uint64 | int) -> "S2CellUnion":
+        """C8: slice of this union intersecting ONE cell
+        (S2CellUnion.getIntersection(x, cellId), S2CellUnion.java:246-264):
+        either the containing ancestor of ``cell_id`` alone, or the
+        contiguous run of descendants inside its leaf range — two sorted
+        searches, no merge walk."""
+        cid = np.uint64(cell_id)
+        if self.contains_id(cid):
+            return S2CellUnion(np.array([cid], dtype=np.uint64), normalize=False)
+        lo = int(np.searchsorted(self.ids, ck.range_min(np.array([cid]))[0], side="left"))
+        hi = int(np.searchsorted(self.ids, ck.range_max(np.array([cid]))[0], side="right"))
+        return S2CellUnion(self.ids[lo:hi].copy(), normalize=False)
+
     @staticmethod
     def intersection_of(x: "S2CellUnion", y: "S2CellUnion") -> "S2CellUnion":
         """Sorted-merge intersection (S2CellUnion.java:270-319)."""

@@ -8,6 +8,12 @@ libraries; a deployment swaps ``decode_pixels`` for libjpeg/PIL inside the
 same batch loop).  Unsupported codecs raise NotImplementedError, clearly
 gated per the build brief.
 
+Within each Arrow batch, rows are grouped by (w, h, fmt) and processed as
+(group, w*h*3) matrices — the only remaining per-row Python is the
+``np.frombuffer`` view over each variable-length bytes cell (inherent to a
+variable-size codec; a real decoder has the same shape).  Per-pixel math is
+whole-matrix NumPy.
+
 PSNR invariant (BASELINE.json): decoded pixels vs the ground-truth source
 must be exact for lossless rows and >= 40 dB for lossy rows; caption passes
 through unchanged (equality-checked).
@@ -15,17 +21,71 @@ through unchanged (equality-checked).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from s2_geometry_library_java_spark.sources.images import decode_pixels, source_pixels
+from s2_geometry_library_java_spark.sources.images import (
+    _PIX_MULT,
+    _PIX_STEP,
+    decode_pixels,
+)
+
+# Chunk rows within a (w,h,fmt) group: the per-chunk (rows, w*h*3) float64
+# temporaries must stay cache-resident — measured 6x faster at 16 rows
+# (~8 MB working set) than at 256 (~100 MB, memory-bandwidth-bound).
+_GROUP_CHUNK = 16
+
+STATS_COLUMNS = [
+    "image_id", "w", "h", "fmt", "caption",
+    "mean_r", "mean_g", "mean_b", "std_all", "psnr",
+]
 
 
-def _row_index(image_id: str) -> int:
-    return int(image_id[3:])
+def _source_pixels_batch(ids: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized sources.images.source_pixels for a batch of row ids:
+    (len(ids), k) uint8 ground-truth pixels."""
+    idx = np.arange(k, dtype=np.uint64)
+    vals = (ids.astype(np.uint64)[:, None] * _PIX_MULT + idx[None, :] * _PIX_STEP) % np.uint64(251)
+    return vals.astype(np.uint8)
+
+
+def image_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-image decode + stats for one pandas batch (shared by the Spark
+    operator and the driver-side golden oracle, so FP operation order is
+    identical by construction)."""
+    n = len(pdf)
+    mean_r = np.empty(n)
+    mean_g = np.empty(n)
+    mean_b = np.empty(n)
+    std_all = np.empty(n)
+    psnr = np.empty(n)
+    pdf = pdf.reset_index(drop=True)  # group indices become positions
+    row_ids = pdf["image_id"].str.slice(3).astype(np.int64).to_numpy()
+    byts = pdf["bytes"].to_numpy()
+    for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"], sort=False):
+        k = int(w) * int(h) * 3
+        idx = grp.index.to_numpy()
+        for c0 in range(0, len(idx), _GROUP_CHUNK):
+            sel = idx[c0 : c0 + _GROUP_CHUNK]
+            P = np.stack(
+                [decode_pixels(byts[i], int(w), int(h), str(fmt)) for i in sel]
+            ).astype(np.float64)
+            S = _source_pixels_batch(row_ids[sel], k).astype(np.float64)
+            mse = np.mean((P - S) ** 2, axis=1)
+            psnr[sel] = np.where(mse == 0.0, 999.0, 10.0 * np.log10(255.0**2 / np.maximum(mse, 1e-300)))
+            rgb = P.reshape(len(sel), -1, 3)
+            mean_r[sel] = rgb[:, :, 0].mean(axis=1)
+            mean_g[sel] = rgb[:, :, 1].mean(axis=1)
+            mean_b[sel] = rgb[:, :, 2].mean(axis=1)
+            std_all[sel] = P.std(axis=1)
+    out = pdf[["image_id", "w", "h", "fmt", "caption"]].reset_index(drop=True).copy()
+    out["mean_r"] = mean_r
+    out["mean_g"] = mean_g
+    out["mean_b"] = mean_b
+    out["std_all"] = std_all
+    out["psnr"] = psnr
+    return out
 
 
 def image_stats(images: DataFrame) -> DataFrame:
@@ -38,46 +98,47 @@ def image_stats(images: DataFrame) -> DataFrame:
 
     def it(batches):
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                pix = decode_pixels(row.bytes, row.w, row.h, row.fmt).astype(np.float64)
-                src = source_pixels(_row_index(row.image_id), row.w, row.h).astype(np.float64)
-                mse = float(np.mean((pix - src) ** 2))
-                psnr = 999.0 if mse == 0.0 else 10.0 * math.log10(255.0**2 / mse)
-                rgb = pix.reshape(-1, 3)
-                out.append(
-                    (
-                        row.image_id, row.w, row.h, row.fmt, row.caption,
-                        float(rgb[:, 0].mean()), float(rgb[:, 1].mean()), float(rgb[:, 2].mean()),
-                        float(pix.std()), psnr,
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "image_id", "w", "h", "fmt", "caption",
-                    "mean_r", "mean_g", "mean_b", "std_all", "psnr",
-                ],
-            )
+            if len(pdf):
+                yield image_stats_pandas(pdf.reset_index(drop=True))
 
     return images.mapInPandas(it, schema)
 
 
 def resize_images(images: DataFrame, target: int = 16) -> DataFrame:
-    """Nearest-neighbor resize to target x target (pure NumPy; the Spark
-    plumbing — binary in, binary out, new typed metadata — is the point)."""
+    """Nearest-neighbor resize to target x target: grouped by source size so
+    the gather is one fancy-index per (w, h, fmt) chunk."""
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
 
     def it(batches):
         for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                pix = decode_pixels(row.bytes, row.w, row.h, row.fmt).reshape(row.h, row.w, 3)
-                yi = (np.arange(target) * row.h // target).astype(np.int64)
-                xi = (np.arange(target) * row.w // target).astype(np.int64)
-                small = pix[yi][:, xi]
-                rows.append((row.image_id, small.tobytes(), target, target, "raw", row.caption))
-            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption"])
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            byts = pdf["bytes"].to_numpy()
+            out_bytes = [b""] * len(pdf)
+            for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h = int(w), int(h)
+                yi = (np.arange(target) * h // target).astype(np.int64)
+                xi = (np.arange(target) * w // target).astype(np.int64)
+                idx = grp.index.to_numpy()
+                for c0 in range(0, len(idx), _GROUP_CHUNK):
+                    sel = idx[c0 : c0 + _GROUP_CHUNK]
+                    P = np.stack(
+                        [decode_pixels(byts[i], w, h, str(fmt)) for i in sel]
+                    ).reshape(len(sel), h, w, 3)
+                    small = P[:, yi][:, :, xi]
+                    for r, i in enumerate(sel):
+                        out_bytes[i] = small[r].tobytes()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": out_bytes,
+                    "w": target,
+                    "h": target,
+                    "fmt": "raw",
+                    "caption": pdf["caption"],
+                }
+            )
 
     return images.mapInPandas(it, schema)
 

@@ -212,3 +212,23 @@ def test_cellunion_expand_contains_original():
         p = _norm(cap.axis * math.cos(0.12) + d * math.sin(0.12))
         leaf = ck.from_xyz(p[None, :])[0]
         assert expanded.contains_id(leaf)
+
+
+def test_cellunion_intersection_with_cell_matches_general():
+    """C8 slice (S2CellUnion.java:246-264) == general intersection with a
+    single-cell union, probed over ancestors, members, descendants, and
+    disjoint cells."""
+    cap = S2Cap.from_axis_angle(_norm([1.0, 2, 3]), 0.1)
+    from s2_geometry_library_java_spark.geometry import S2RegionCoverer
+
+    u = S2RegionCoverer(max_cells=24).get_covering_union(cap)
+    probes = list(u.ids[:5])  # members
+    probes += [ck.parent(np.array([u.ids[0]]), 2)[0]]  # ancestor
+    probes += [ck.child_begin(np.array([u.ids[-1]]))[0]]  # descendant
+    probes += [ck.from_xyz(_norm([-1.0, -2, -3])[None, :])[0]]  # disjoint side
+    for lvl in (0, 3, 8):
+        probes.append(ck.parent(ck.from_xyz(_norm([0.5, -1, 2])[None, :]), lvl)[0])
+    for cid in probes:
+        got = u.intersection_with_cell(cid)
+        expect = S2CellUnion.intersection_of(u, S2CellUnion(np.array([cid], dtype=np.uint64)))
+        assert list(got.ids) == list(expect.ids), hex(int(cid))
