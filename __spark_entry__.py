@@ -438,6 +438,96 @@ def _values_sql(rows: list[tuple], cols: str, casts: dict[str, str] | None = Non
     return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
 
 
+# --------------------------------------------------------------------------
+# P12/P13 gate: loop area + true centroid through the Arrow UDF vs the same
+# kernel evaluated flat on the driver (golden VALUES).
+# --------------------------------------------------------------------------
+_AREA_LOOPS = [
+    ("tri", "0:0, 0:40, 35:20"),
+    ("polar", "80:0, 80:120, 80:-120"),
+    ("concave", "0:0, 0:30, 10:15, 20:30, 20:0, 10:8"),
+    ("sliver", "10:10, 10:10.5, 10.52:10.25"),
+]
+
+
+def _area_loop_rows() -> list[tuple]:
+    from s2_geometry_library_java_spark.geometry.text_format import make_loop
+
+    rows = []
+    for name, dsl in _AREA_LOOPS:
+        loop = make_loop(dsl)
+        area, c = loop.get_area_centroid(True)
+        verts = [[float(x) for x in p] for p in loop.vertices]
+        rows.append((name, verts, float(area), float(c[0]), float(c[1]), float(c[2])))
+    return rows
+
+
+def q_loop_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.functions.udfs import s2_loop_area_centroid_udf
+
+    df = spark.createDataFrame(
+        [(n, v) for n, v, *_ in _area_loop_rows()], "loop_id string, verts array<array<double>>"
+    )
+    ac = s2_loop_area_centroid_udf(F.col("verts"))
+    return df.select(
+        "loop_id",
+        ac.getField("area").alias("area"),
+        ac.getField("cx").alias("cx"),
+        ac.getField("cy").alias("cy"),
+        ac.getField("cz").alias("cz"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Polyline gate: interpolate + project + nearest-edge + distance through an
+# Arrow UDF vs the same kernel flat on the driver (golden VALUES).
+# --------------------------------------------------------------------------
+_POLYLINE_DSL = "0:0, 0:10, 10:20, 20:20, 25:30"
+_POLYLINE_PROBES = [
+    (0.0, "1:1"), (0.1, "5:15"), (0.25, "-3:7"), (0.5, "12:21"),
+    (0.77, "30:30"), (1.0, "21:24"),
+]
+
+
+def _polyline_rows() -> list[tuple]:
+    from s2_geometry_library_java_spark.geometry.text_format import make_point, parse_vertices
+    from s2_geometry_library_java_spark.geometry.polyline import S2Polyline
+
+    line = S2Polyline(parse_vertices(_POLYLINE_DSL))
+    rows = []
+    for frac, probe_dsl in _POLYLINE_PROBES:
+        p = make_point(probe_dsl)
+        ip = line.interpolate(frac)
+        pr_ = line.project(p)
+        rows.append(
+            (
+                float(frac),
+                probe_dsl,
+                float(ip[0]), float(ip[1]), float(ip[2]),
+                float(pr_[0]), float(pr_[1]), float(pr_[2]),
+                int(line.get_nearest_edge_index(p)),
+                float(line.get_distance(p)),
+            )
+        )
+    return rows
+
+
+_POLYLINE_COLS = "frac, probe, ix, iy, iz, px, py, pz, nearest_edge, dist"
+
+
+def q_polyline_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.functions.udfs import s2_polyline_ops_udf
+
+    df = spark.createDataFrame(
+        [(float(f), d) for f, d in _POLYLINE_PROBES], "frac double, probe string"
+    )
+    r = s2_polyline_ops_udf(F.lit(_POLYLINE_DSL), F.col("frac"), F.col("probe"))
+    return df.select(
+        "frac", "probe",
+        *[r.getField(c).alias(c) for c in ("ix", "iy", "iz", "px", "py", "pz", "nearest_edge", "dist")],
+    )
+
+
 _NEIGHBOR_TOKENS = ["1", "3", "5", "7", "9", "b", "89c25c", "2ef59bd352b93ac3"]
 
 
@@ -627,6 +717,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_SIMHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {dedup.token_hashes_duck('text')} AS ths FROM documents)
 SELECT doc_id, {dedup.simhash_duck('ths')} AS simhash FROM t
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+_Q_SIMHASH_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {dedup.token_hashes_duck('text')} AS ths FROM documents),
+ f AS (SELECT doc_id, {dedup.simhash_duck('ths')} AS simhash FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM f a JOIN f b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 
@@ -871,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "covering_golden": q_covering_golden,
         "cell_neighbors": q_cell_neighbors,
+        "loop_area_centroid": q_loop_area_centroid,
+        "polyline_ops": q_polyline_ops,
         "edge_crossings": q_edge_crossings,
         "cellunion_setops": q_cellunion_setops,
         "metric_levels": q_metric_levels,
@@ -878,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_profile": q_text_profile,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -909,6 +1016,13 @@ def oracle_sql() -> dict[str, str]:
             _golden_covering_rows(), "polygon_id, token, level, is_interior"
         ),
         "cell_neighbors": _values_sql(_golden_neighbor_rows(), "token, nbr_token"),
+        "loop_area_centroid": _values_sql(
+            [(n, a, cx, cy, cz) for n, _v, a, cx, cy, cz in _area_loop_rows()],
+            "loop_id, area, cx, cy, cz",
+        ),
+        "polyline_ops": _values_sql(
+            _polyline_rows(), _POLYLINE_COLS, casts={"nearest_edge": "INTEGER"}
+        ),
         "edge_crossings": _Q_EDGE_CROSSINGS_SQL,
         "cellunion_setops": _values_sql(_setop_rows(), "op, token"),
         "metric_levels": _values_sql(
@@ -919,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _Q_MINHASH_SIGS_SQL,
         "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
         "simhash": _Q_SIMHASH_SQL,
+        "simhash_pairs": _Q_SIMHASH_PAIRS_SQL,
         "text_profile": _text_profile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "embed_neardup": _Q_EMBED_NEARDUP_SQL,

@@ -91,6 +91,65 @@ def s2_face_udf(cell_id: pd.Series) -> pd.Series:
     return pd.Series(ck.face(_as_uint64(cell_id)).astype(np.int32))
 
 
+from pyspark.sql.types import StructField, StructType
+
+_AREA_CENTROID_TYPE = StructType(
+    [
+        StructField("area", DoubleType()),
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+        StructField("cz", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_AREA_CENTROID_TYPE)
+def s2_loop_area_centroid_udf(verts: pd.Series) -> pd.DataFrame:
+    """P12/P13 as a column function: loop area + true centroid
+    (S2.area/S2.trueCentroid accumulation, S2.java:319-473) from an
+    array<array<double>> vertex column.  Row-at-a-time over the LOOP side —
+    layers are the small broadcast side, never the fact table."""
+    from s2_geometry_library_java_spark.geometry.loop import S2Loop
+
+    rows = []
+    for v in verts:
+        loop = S2Loop(np.asarray([list(p) for p in v], dtype=np.float64))
+        area, centroid = loop.get_area_centroid(True)
+        rows.append((float(area), float(centroid[0]), float(centroid[1]), float(centroid[2])))
+    return pd.DataFrame(rows, columns=["area", "cx", "cy", "cz"])
+
+
+_POLYLINE_OPS_TYPE = StructType(
+    [StructField(c, IntegerType() if c == "nearest_edge" else DoubleType())
+     for c in ("ix", "iy", "iz", "px", "py", "pz", "nearest_edge", "dist")]
+)
+
+
+@pandas_udf(_POLYLINE_OPS_TYPE)
+def s2_polyline_ops_udf(dsl: pd.Series, frac: pd.Series, probe: pd.Series) -> pd.DataFrame:
+    """Polyline interpolate/project/nearest-edge/distance
+    (S2Polyline.java:190-265) as a column function; the polyline DSL is a
+    per-row string (constant for the gate query's tiny probe table)."""
+    from s2_geometry_library_java_spark.geometry.polyline import S2Polyline
+    from s2_geometry_library_java_spark.geometry.text_format import make_point, parse_vertices
+
+    lines: dict[str, S2Polyline] = {}
+    rows = []
+    for d, f, pb in zip(dsl, frac, probe):
+        line = lines.get(d)
+        if line is None:
+            line = lines[d] = S2Polyline(parse_vertices(d))
+        p = make_point(pb)
+        ip = line.interpolate(float(f))
+        pj = line.project(p)
+        rows.append(
+            (float(ip[0]), float(ip[1]), float(ip[2]),
+             float(pj[0]), float(pj[1]), float(pj[2]),
+             int(line.get_nearest_edge_index(p)), float(line.get_distance(p)))
+        )
+    return pd.DataFrame(rows, columns=["ix", "iy", "iz", "px", "py", "pz", "nearest_edge", "dist"])
+
+
 @pandas_udf(ArrayType(LongType()))
 def s2_vertex_neighbors_udf(cell_id: pd.Series, level: pd.Series) -> pd.Series:
     """getVertexNeighbors (S2CellId.java:595-638): the <=4 level-``level``

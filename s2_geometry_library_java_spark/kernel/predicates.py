@@ -383,6 +383,10 @@ def planar_centroid(a, b, c) -> np.ndarray:
 
 def true_centroid(a, b, c) -> np.ndarray:
     """Area-weighted true centroid (S2.java:453-473)."""
+    # broadcast up-front: callers pass a fixed origin (1,3) against (n,3)
+    # vertex chains (S2Loop.getAreaCentroid), and the stacked component
+    # gathers below need identical shapes.
+    a, b, c = np.broadcast_arrays(a, b, c)
     sina = norm(cross(b, c))
     sinb = norm(cross(c, a))
     sinc = norm(cross(a, b))
