@@ -42,10 +42,18 @@ from s2_geometry_library_java_spark.operators.layers import Layer
 
 
 def with_cell_id(points: DataFrame, lat_col: str = "lat", lng_col: str = "lng", cell_col: str = "cell_id") -> DataFrame:
-    """Encode stage: add the leaf cell id (K23 kernel, one Arrow hop)."""
+    """Encode stage: add the leaf cell id (K23 kernel, one Arrow hop).
+
+    The coalesce is a runtime no-op (the kernel never yields null) but marks
+    the column non-null to Catalyst: otherwise a range/equi join on it
+    infers an IsNotNull constraint and pushes a filter that RE-EVALUATES the
+    encode UDF a second time on the whole fact side (observed: two
+    ArrowEvalPython encode stages in the BETWEEN-join plan)."""
     if cell_col in points.columns:
         return points
-    return points.withColumn(cell_col, s2_cell_id(F.col(lat_col), F.col(lng_col)))
+    return points.withColumn(
+        cell_col, F.coalesce(s2_cell_id(F.col(lat_col), F.col(lng_col)), F.lit(0))
+    )
 
 
 def assign_candidates(
