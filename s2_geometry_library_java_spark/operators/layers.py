@@ -43,30 +43,7 @@ class Layer:
 
     # ------------------------------------------------------------------
     def native_predicate(self, lat_deg: Column, lng_deg: Column) -> Column | None:
-        """JVM-side membership predicate in degrees, or None → parity kernel.
-
-        loop/polygon layers whose loops are ALL convex get the exact
-        edge-plane sign test as a codegen Column (interior of a convex CCW
-        spherical loop = positive side of every edge's great-circle plane,
-        XOR across loops like S2Polygon.contains, S2Polygon.java:913-928) —
-        the IDENTICAL expression tree the DuckDB oracle states, so the whole
-        refinement stays in WholeStageCodegen with no second Arrow hop.
-        Points within float epsilon of an edge plane could diverge from the
-        robust-CCW parity kernel; non-convex loops (where parity is not a
-        sign conjunction) fall back to it by returning None."""
-        if self.kind in ("loop", "polygon"):
-            loop_preds = []
-            for li in range(self.region.num_loops()):
-                pred = _convex_loop_col(self.region.loop(li), lat_deg, lng_deg)
-                if pred is None:
-                    return None
-                loop_preds.append(pred)
-            if not loop_preds:
-                return None
-            out = loop_preds[0]
-            for p in loop_preds[1:]:
-                out = out != p  # boolean XOR
-            return out
+        """JVM-side membership predicate in degrees, or None → parity kernel."""
         if self.kind == "rect":
             p = self.params
             lat_ok = (lat_deg >= F.lit(p["lat_lo"])) & (lat_deg <= F.lit(p["lat_hi"]))
@@ -144,25 +121,6 @@ class Layer:
             d = xyz - self.region.axis[None, :]
             return np.sum(d * d, axis=1) <= 2.0 * self.region.height
         return self.region.contains_points(xyz)
-
-
-def _convex_loop_col(loop, lat_deg: Column, lng_deg: Column) -> Column | None:
-    """Spark Column twin of ``_convex_loop_sql`` — same edge-plane normals,
-    same > 0.0 comparisons, or None if the loop is non-convex."""
-    v = loop.vertices
-    n = v.shape[0]
-    from s2_geometry_library_java_spark.kernel import predicates as _pr
-
-    for i in range(n):
-        if _pr.robust_ccw(v[i - 1], v[i], v[(i + 1) % n]) <= 0:
-            return None
-    x, y, z = xyz_exprs(lat_deg, lng_deg)
-    out: Column | None = None
-    for i in range(n):
-        nx, ny, nz = np.cross(v[i], v[(i + 1) % n])
-        term = (F.lit(float(nx)) * x + F.lit(float(ny)) * y + F.lit(float(nz)) * z) > F.lit(0.0)
-        out = term if out is None else (out & term)
-    return out
 
 
 def _convex_loop_sql(loop, lat: str, lng: str) -> str | None:

@@ -59,6 +59,10 @@ def test_auto_strategy_small_covering_takes_range(spark, points):
     plan = plan_of(pip_join(points, RECT_LAYERS))
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" not in plan
+    # the encode UDF must appear ONCE: without the non-null coalesce in
+    # with_cell_id, Catalyst's inferred IsNotNull(cell_id) constraint pushed
+    # a filter that re-ran the encode over the whole fact side
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_auto_strategy_large_covering_takes_ancestor(spark, points):
@@ -88,21 +92,12 @@ def test_salted_join_shuffles(spark, points):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_poly_refinement_fully_native_for_convex(spark, points):
+def test_poly_refinement_single_pass(spark, points):
     from __spark_entry__ import ALL_LAYERS
 
     plan = plan_of(pip_join(points, ALL_LAYERS))
-    # ALL_LAYERS' loops are convex, so refinement folds into codegen sign
-    # tests: the ONLY python op is the encode — no second Arrow hop at all
-    assert plan.count("ArrowEvalPython") == 1
+    # exactly two python ops: the encode and the parity refinement —
+    # proof the refine is single-pass (no union of per-kind branches)
+    assert plan.count("ArrowEvalPython") == 2
     # and one scan of the source
     assert plan.count("Scan parquet") == 1
-
-
-def test_poly_refinement_single_pass_nonconvex(spark, points):
-    from s2_geometry_library_java_spark.operators.layers import loop_layer
-
-    concave = loop_layer("cv", "0:0, 0:30, 10:15, 20:30, 20:0, 10:8")
-    plan = plan_of(pip_join(points, [concave]))
-    # non-convex loop: parity kernel refinement = exactly one extra Arrow op
-    assert plan.count("ArrowEvalPython") == 2
