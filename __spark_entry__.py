@@ -781,6 +781,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_cosine_topk(emb, dim=dim, n_queries=ANN_NQ, k=ANN_K)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN; probed at n_probe == n_lists the candidate
+    set is the full corpus, so the result is EXACT and shares the brute
+    cosine oracle — the gate covers the IVF plan shape, pytest pins the
+    approximate regime's recall."""
+    return ann.ivf_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=ANN_NQ, k=ANN_K, n_lists=16, n_probe=16
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_TAU)
 
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "text_profile": q_text_profile,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
         "event_sessions": q_event_sessions,
@@ -1036,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _Q_SIMHASH_PAIRS_SQL,
         "text_profile": _text_profile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
+        "ann_ivf": _Q_ANN_COSINE_SQL,
         "embed_neardup": _Q_EMBED_NEARDUP_SQL,
         "event_sessions": _Q_EVENT_SESSIONS_SQL,
     }

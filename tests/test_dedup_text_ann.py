@@ -179,6 +179,25 @@ def test_embedding_neardup(emb, emb_np):
     assert strict <= out <= expect
 
 
+def test_ivf_full_probe_is_exact(emb):
+    """n_probe == n_lists -> candidates = whole corpus -> identical to the
+    brute cosine top-k (rows, ranks, and rounded sims)."""
+    exact = {tuple(r) for r in ann.cosine_topk(emb, n_queries=8, k=5).collect()}
+    ivf = {tuple(r) for r in ann.ivf_cosine_topk(emb, n_queries=8, k=5, n_lists=8, n_probe=8).collect()}
+    assert exact == ivf and len(exact) == 40
+
+
+def test_ivf_partial_probe_recall(emb):
+    exact = {}
+    for r in ann.cosine_topk(emb, n_queries=8, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ann.ivf_cosine_topk(emb, n_queries=8, k=5, n_lists=8, n_probe=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got.get(q, set()) & s) / len(s) for q, s in exact.items()]
+    assert sum(recalls) / len(recalls) >= 0.5  # coarse quantizer at 3/8 lists
+
+
 def test_embedding_neardup_blocked_is_bit_exact_vs_brute(emb):
     """The centroid-blocked plan must reproduce the row-cartesian brute
     force EXACTLY (ids and rounded sims) — recall 1.0 is the design claim."""
