@@ -87,7 +87,9 @@ def main() -> None:
 
         # encode: lat/lng -> leaf cell id over all fact points
         enc = with_cell_id(pts)
-        timed("encode", lambda: enc.agg(F.count("cell_id")).collect())
+        # sum() forces the UDF: count(cell_id) constant-folds away now that
+        # the encode column is marked non-null
+        timed("encode", lambda: enc.agg(F.sum("cell_id")).collect())
         extras["encode_rows_per_sec"] = round(n_points / max(timings["encode"], 1e-9))
 
         matches = pip_join(enc, ALL_LAYERS)
