@@ -107,6 +107,12 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         timed("ann_cosine", lambda: ann.cosine_topk(emb, n_queries=8, k=10).count())
 
+        # the binary/multimodal path: synthesize, decode, verify PSNR —
+        # exercises Arrow binary columns + the grouped batch codec
+        from s2_geometry_library_java_spark.operators.images import image_stats
+
+        timed("image_stats_50k", lambda: image_stats(synthetic_images(spark, 50000, partitions=cpus)).count())
+
     # north metric: images/sec end-to-end encode + polygon-join + tile-assign
     # over a MATERIALIZED images table (the north rule's input is an Iceberg
     # table; parquet stands in).  The scan projects only (image_id, phash) —
