@@ -77,6 +77,8 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     group) otherwise serializes the expensive shingle/md5 stage on a single
     core; a well-partitioned 100 TB input passes through untouched — the
     guard is a no-op whenever scan parallelism already suffices."""
+    if df.isStreaming:  # .rdd is undefined for streaming plans
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
