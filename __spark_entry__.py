@@ -734,6 +734,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (inverted-index join; the
+    deterministic sibling of the MinHash-LSH gate)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+
+
+_NGJ_RATIO = "round(CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 9)"
+_Q_NGRAM_JACCARD_SQL = f"""
+WITH g AS (SELECT doc_id, {dedup.word_ngrams_duck('text')} AS grams FROM documents),
+ s AS (SELECT doc_id, len(grams) AS n FROM g),
+ p0 AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+ p AS (SELECT doc_id, md5(gram) AS gh FROM p0),
+ i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+       FROM p a JOIN p b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n_common, {_NGJ_RATIO} AS jaccard
+FROM i JOIN s sa ON sa.doc_id = i.id_a JOIN s sb ON sb.doc_id = i.id_b
+WHERE {_NGJ_RATIO} >= 0.35
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_profile(load_table(spark, sf_dir, "documents"))
 
@@ -975,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_cap": _pip_query(CAP_LAYERS),
         "pip_join_poly": _pip_query(POLY_LAYERS),
         "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
+        "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
         "pip_counts": q_pip_counts,
         "pip_join_salted": q_pip_salted,
         "points_in_any_layer": q_points_any_layer,
@@ -995,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "text_profile": q_text_profile,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1016,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),
+        "pip_join_stab": _pip_oracle(ALL_LAYERS),
         "pip_join_poly": _pip_oracle(POLY_LAYERS),
         "pip_counts": _Q_PIP_COUNTS_SQL,
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
@@ -1045,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
         "simhash": _Q_SIMHASH_SQL,
         "simhash_pairs": _Q_SIMHASH_PAIRS_SQL,
+        "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "text_profile": _text_profile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,

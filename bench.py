@@ -102,6 +102,7 @@ def main() -> None:
 
         docs = load_table(spark, sf_dir, "documents")
         timed("minhash_pairs", lambda: dedup.minhash_neardup_pairs(docs, threshold=0.35).count())
+        timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.35).count())
         timed("simhash", lambda: dedup.simhash_fingerprints(docs).count())
 
         emb = load_table(spark, sf_dir, "embeddings")
@@ -129,8 +130,12 @@ def main() -> None:
         ).write.mode("overwrite").parquet(img_dir)
 
     def e2e_job() -> int:
+        # The manifest needs only (cell_id, polygon_id): project to phash and
+        # let Catalyst prune image_id/caption at the scan — carrying a dead
+        # 13-byte id string per row through a bandwidth-bound fact path is
+        # exactly the waste column pruning exists to remove.
         imgs = spark.read.parquet(img_dir)
-        enc_imgs = encode_images(imgs.select("image_id", "phash"))
+        enc_imgs = encode_images(imgs.select("phash"))
         m = pip_join(enc_imgs, ALL_LAYERS)
         return tile_manifest(m, tile_level=7).count()
 

@@ -29,6 +29,21 @@ def s2_cell_id(lat_deg: pd.Series, lng_deg: pd.Series) -> pd.Series:
 
 
 @pandas_udf(LongType())
+def s2_cell_id_from_phash(phash: pd.Series) -> pd.Series:
+    """Fused geotag-anchor + K23 encode for the north-rule images pipeline:
+    one 8-byte column in, one out — halves the encode hop's Arrow traffic vs
+    a (lat, lng) input, which matters on the bandwidth-bound fact path.  The
+    anchor math calls the same phash_anchor_* NumPy used everywhere else
+    (FIXTURES.md F1), so cell ids are bit-identical to encoding the native
+    lat/lng columns."""
+    from s2_geometry_library_java_spark.sources.images import phash_anchor_lat, phash_anchor_lng
+
+    ph = phash.to_numpy(dtype=np.int64)
+    ids = ck.from_latlng_degrees(phash_anchor_lat(ph), phash_anchor_lng(ph))
+    return pd.Series(ids.view(np.int64))
+
+
+@pandas_udf(LongType())
 def s2_cell_id_at_level(lat_deg: pd.Series, lng_deg: pd.Series, level: pd.Series) -> pd.Series:
     ids = ck.from_latlng_degrees(lat_deg.to_numpy(dtype=np.float64), lng_deg.to_numpy(dtype=np.float64))
     ids = ck.parent(ids, level.to_numpy(dtype=np.int64))

@@ -181,6 +181,88 @@ def minhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact word-n-gram Jaccard (the non-approximate sibling of MinHash-LSH)
+# ---------------------------------------------------------------------------
+NGRAM_W = 3
+
+
+def word_ngrams_spark(col: str = "text", w: int = NGRAM_W) -> str:
+    return (
+        f"array_distinct(transform(sequence(1, greatest(1, size(split({col}, ' ')) - {w - 1})), "
+        f"i -> concat_ws(' ', slice(split({col}, ' '), i, {w}))))"
+    )
+
+
+def word_ngrams_duck(col: str = "text", w: int = NGRAM_W) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(1, len(string_split({col}, ' ')) - {w - 1}) + 1), "
+        f"i -> array_to_string(list_slice(string_split({col}, ' '), i, i + {w - 1}), ' ')))"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    w: int = NGRAM_W,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index equi-join —
+    no LSH recall loss (the deterministic sibling of minhash_neardup_pairs).
+
+    Plan: distinct word n-grams per doc -> posting lists keyed on md5(gram)
+    (the shuffle carries 32-byte hashes + ids, never text) -> in-posting
+    pair counts give |A∩B| -> join per-doc sizes for
+    |A∪B| = |A|+|B|-|A∩B|.  Every stage is a hash aggregation or equi-join
+    with map-side partials; nothing collects to the driver.
+
+    The inherent exact-Jaccard cost is a gram shared by k docs emitting
+    k^2/2 pair increments.  ``max_df`` caps posting width (drop grams in
+    more than max_df docs — the standard stopword-gram prune); it is OFF by
+    default because it changes semantics: a dropped gram deflates both the
+    intersection and, via the count join, never the union, so jaccard is
+    then a lower bound.
+    """
+    g = spread(docs).select(
+        F.col(id_col), F.expr(word_ngrams_spark(content_col, w)).alias("grams")
+    )
+    sizes = g.select(F.col(id_col), F.size("grams").alias("n"))
+    posts = g.select(F.col(id_col), F.explode("grams").alias("gram")).select(
+        F.col(id_col), F.md5("gram").alias("gh")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
+    postings = posts.groupBy("gh").agg(F.collect_list(id_col).alias("ids")).filter(F.size("ids") > 1)
+    if max_df is not None:
+        postings = postings.filter(F.size("ids") <= max_df)
+    inter = (
+        postings.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 SIMHASH_BITS = 32

@@ -17,6 +17,19 @@ Two candidate-generation strategies, both images of reference index queries:
   non-equi join as BNLJ, which is fine for a small layer side and wrong
   otherwise.
 
+- **interval-stab** (``strategy="stab"``): the same S2CellUnion.contains
+  binary search (S2CellUnion.java:160-178), but *actually executed as a
+  binary search*: the covering's disjoint-per-layer [range_min, range_max]
+  intervals are flattened driver-side into a sorted boundary array whose
+  segments each carry the set of covering rows containing them; one
+  vectorized ``np.searchsorted`` per fact batch maps each leaf id to its
+  segment (an int32), and a broadcast equi-join on the segment id expands
+  to candidates.  Compared to the ancestor explode this moves ~|levels|x
+  row amplification of the WHOLE fact side (the dominant memory-bandwidth
+  cost at 10^8+ rows) into an O(log B) in-cache lookup; compared to the
+  BNLJ range join it is O(log B) instead of O(B) per row.  No shuffle, so
+  hot cells cannot skew anything.  Broadcast-only like "range".
+
 Refinement then applies the exact membership predicate only to candidates
 from non-interior covering cells (O5): natively for rect/cap layers, through
 the vectorized edge-crossing-parity kernel (S2Loop.java:624-654 via
@@ -33,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, IntegerType
 
 from s2_geometry_library_java_spark.functions.native import ancestors_expr, biased
 from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
@@ -104,6 +117,65 @@ def assign_candidates(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+_U64_BIAS = np.uint64(1) << np.uint64(63)
+
+
+def _stab_structure(rows: list[tuple]) -> tuple[np.ndarray, list[tuple]]:
+    """Flatten covering intervals into (sorted uint64 segment boundaries,
+    [(segment, polygon_id, is_interior), ...]).
+
+    Segment s spans [bounds[s], bounds[s+1]) in biased (unsigned-order)
+    space; every interval endpoint is a boundary, so an interval covers a
+    segment iff it covers the segment's start — membership is decided once
+    per segment on the driver, then a leaf id's containing intervals are
+    exactly its segment's list.  Driver cost is O(|rows| * segments), fine
+    for broadcastable coverings (hundreds of cells)."""
+    rmin = np.array([r[3] for r in rows], dtype=np.int64).view(np.uint64) ^ _U64_BIAS
+    rmax = np.array([r[4] for r in rows], dtype=np.int64).view(np.uint64) ^ _U64_BIAS
+    u64_max = np.uint64(0xFFFFFFFFFFFFFFFF)
+    bset = {0}
+    for lo, hi in zip(rmin, rmax):
+        bset.add(int(lo))
+        if hi != u64_max:  # end+1 would wrap; the last segment is open-ended
+            bset.add(int(hi) + 1)
+    bounds = np.array(sorted(bset), dtype=np.uint64)
+    seg_rows: list[tuple] = []
+    for s, start in enumerate(bounds):
+        for j, r in enumerate(rows):
+            if rmin[j] <= start <= rmax[j]:
+                seg_rows.append((s, r[0], r[5]))
+    return bounds, seg_rows
+
+
+def stab_candidates(
+    points: DataFrame,
+    covering: list[tuple],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Candidate pairs via the vectorized S2CellUnion.contains binary search
+    (see module docstring).  Keeps all point columns plus ``polygon_id`` and
+    ``is_interior``; points outside every covering interval drop out in the
+    broadcast equi-join (inner, same semantics as the other strategies)."""
+    bounds, seg_rows = _stab_structure(covering)
+
+    @pandas_udf(IntegerType())
+    def seg_of(cid: pd.Series) -> pd.Series:
+        b = cid.to_numpy(dtype=np.int64).view(np.uint64) ^ _U64_BIAS
+        seg = np.searchsorted(bounds, b, side="right") - 1
+        return pd.Series(seg.astype(np.int32))
+
+    spark = points.sparkSession
+    seg_df = spark.createDataFrame(
+        seg_rows, "_seg int, polygon_id string, is_interior boolean"
+    )
+    # coalesce marks _seg non-null so the join's inferred IsNotNull doesn't
+    # re-evaluate the UDF (same Catalyst trap as with_cell_id).
+    pts = points.withColumn(
+        "_seg", F.coalesce(seg_of(F.col(cell_col)), F.lit(-1))
+    )
+    return pts.join(F.broadcast(seg_df), "_seg", "inner").drop("_seg")
+
+
 def refine_candidates(
     candidates: DataFrame,
     layers: list[Layer],
@@ -134,22 +206,34 @@ def refine_candidates(
         by_id = {l.polygon_id: l for l in kernel_layers}
 
         @pandas_udf(BooleanType())
-        def parity_contains(pid_s: pd.Series, lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        def parity_contains(
+            pid_s: pd.Series, lat_s: pd.Series, lng_s: pd.Series, decided_s: pd.Series
+        ) -> pd.Series:
+            # Catalyst hoists the UDF into its own projection, so it SEES
+            # every candidate row; ``decided`` (interior covering cell, or
+            # native-predicate true) lets the kernel skip the parity sweep
+            # for rows the filter already keeps — on an interior-heavy
+            # covering that is most of the volume.
             keep = np.zeros(len(pid_s), dtype=bool)
-            if len(pid_s):
+            todo = ~decided_s.to_numpy(dtype=bool)
+            if todo.any():
                 # factorize (hash-based, C) beats np.unique's sort on strings
                 codes, uniques = pd.factorize(pid_s)
                 for code, pid in enumerate(uniques):
                     layer = by_id.get(pid)
                     if layer is None:
                         continue  # native-layer row; decided by the CASE chain
-                    idx = np.flatnonzero(codes == code)
-                    keep[idx] = layer.contains_points(
-                        lat_s.to_numpy(dtype=np.float64)[idx], lng_s.to_numpy(dtype=np.float64)[idx]
-                    )
+                    idx = np.flatnonzero((codes == code) & todo)
+                    if len(idx):
+                        keep[idx] = layer.contains_points(
+                            lat_s.to_numpy(dtype=np.float64)[idx],
+                            lng_s.to_numpy(dtype=np.float64)[idx],
+                        )
             return pd.Series(keep)
 
-        cond = cond | parity_contains(F.col("polygon_id"), F.col(lat_col), F.col(lng_col))
+        cond = cond | parity_contains(
+            F.col("polygon_id"), F.col(lat_col), F.col(lng_col), cond
+        )
 
     return candidates.filter(cond)
 
@@ -182,13 +266,15 @@ def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
     >30 queries make the index pay for itself).
 
     Per-fact-row cost of the broadcast range join is ~|covering| interval
-    compares (BNLJ probe, no fan-out rows); the ancestor equi-join pays
-    |levels| exploded rows + hash probes but is O(1) in covering size.  The
-    crossover sits where the covering outgrows the explode fan-out by the
-    compare/hash cost ratio — below it the BNLJ is cheaper AND skips the
-    explode's row amplification, above it the index join amortizes exactly
-    like the reference's m>100 breakeven."""
-    return "range" if len(covering) <= RANGE_BREAKEVEN_CELLS else "ancestor"
+    compares (BNLJ probe, no fan-out rows); the interval-stab strategy is
+    O(log |covering|) per row plus one tiny Arrow hop; the ancestor
+    equi-join pays |levels| exploded rows + hash probes but needs no
+    broadcast at all.  Small coverings keep the zero-Python BNLJ; larger
+    broadcastable ones take the stab lookup (measured: beats the ancestor
+    explode's fan-out bandwidth at 10^8-row scale); non-broadcastable
+    coverings (huge layer dimensions) must use the shuffled ancestor join —
+    that case is forced by the caller via broadcast_cells=False."""
+    return "range" if len(covering) <= RANGE_BREAKEVEN_CELLS else "stab"
 
 
 def pip_join(
@@ -216,9 +302,9 @@ def pip_join(
     """points x layers -> rows of points matched with ``polygon_id``.
 
     ``strategy="auto"`` (default) applies the I2 cost model: small coverings
-    take the broadcast range join, large ones the ancestor equi-join; a
-    shuffled or salted request forces ancestor (range is broadcast-only by
-    construction)."""
+    take the broadcast range join, larger broadcastable ones the vectorized
+    interval-stab lookup; a shuffled or salted request forces the ancestor
+    equi-join (range/stab are broadcast-only by construction)."""
     spark = points.sparkSession
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
@@ -228,10 +314,13 @@ def pip_join(
             strategy = "ancestor"
         else:
             strategy = choose_strategy(rows, covering_levels(rows))
-    cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
     pts = with_cell_id(points, lat_col, lng_col, cell_col)
-    cand = assign_candidates(
-        pts, cells_df, covering_levels(rows), cell_col, strategy, broadcast_cells, salt
-    )
+    if strategy == "stab":
+        cand = stab_candidates(pts, rows, cell_col)
+    else:
+        cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
+        cand = assign_candidates(
+            pts, cells_df, covering_levels(rows), cell_col, strategy, broadcast_cells, salt
+        )
     refined = refine_candidates(cand, layers, lat_col, lng_col)
     return refined.drop("is_interior")

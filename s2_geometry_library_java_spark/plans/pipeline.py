@@ -18,7 +18,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
 from s2_geometry_library_java_spark.operators.layers import Layer
 from s2_geometry_library_java_spark.operators.pip_join import pip_join
 from s2_geometry_library_java_spark.operators.tiling import run_tiled_write, tile_manifest
@@ -26,16 +25,28 @@ from s2_geometry_library_java_spark.sources.images import synthetic_images
 
 
 def encode_images(images: DataFrame) -> DataFrame:
-    """phash -> anchor lat/lng (FIXTURES.md F1 recipe, native bit math) ->
-    leaf cell id (vectorized kernel)."""
+    """phash -> anchor lat/lng (FIXTURES.md F1 recipe, native bit math) +
+    leaf cell id (vectorized kernel, fused phash input).
+
+    The encode UDF takes the 8-byte phash directly (the anchor derivation
+    runs inside the kernel batch) instead of 16 bytes of lat/lng — and the
+    lat/lng columns stay PURE NATIVE projections of phash, so Catalyst
+    computes them only where referenced (the post-join refinement of
+    boundary candidates), never materializing them across the full fact
+    path.  The coalesce marks cell_id non-null (see pip_join.with_cell_id).
+    """
+    from s2_geometry_library_java_spark.functions.udfs import s2_cell_id_from_phash
+
     upper = F.shiftrightunsigned(F.col("phash"), 32).cast("double")
     lower = F.col("phash").bitwiseAND(F.lit(0xFFFFFFFF)).cast("double")
     lat = F.lit(-90.0) + F.lit(180.0) * (upper / F.lit(4294967296.0))
     lng = F.lit(-180.0) + F.lit(360.0) * (lower / F.lit(4294967296.0))
     return (
-        images.withColumn("lat", lat)
+        images.withColumn(
+            "cell_id", F.coalesce(s2_cell_id_from_phash(F.col("phash")), F.lit(0))
+        )
+        .withColumn("lat", lat)
         .withColumn("lng", lng)
-        .withColumn("cell_id", s2_cell_id(F.col("lat"), F.col("lng")))
     )
 
 

@@ -76,6 +76,35 @@ def test_minhash_neardup_finds_true_jaccard_pairs(docs, docs_pdf):
         assert found / len(truth) >= 0.8
 
 
+def _ngram_set(t, w=dedup.NGRAM_W):
+    toks = t.split(" ")
+    if len(toks) <= w:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(docs, docs_pdf):
+    # EXACT operator: result must equal the full all-pairs brute force, both
+    # membership AND values — no LSH recall slack here.
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    sets = {r.doc_id: _ngram_set(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.35:
+                expect[(min(a, b), max(a, b))] = (inter, len(sa | sb))
+    assert set(got) == set(expect)
+    for k, (inter, union) in expect.items():
+        assert got[k][0] == inter
+        assert got[k][1] == pytest.approx(inter / union, abs=1e-9)
+
+
 def test_simhash_fingerprint_matches_scalar_oracle(docs, docs_pdf):
     import hashlib
 

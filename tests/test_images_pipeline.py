@@ -66,6 +66,18 @@ def test_encode_images_matches_phash_anchor(images):
     np.testing.assert_allclose([r["lng"] for r in enc], phash_anchor_lng(ph), rtol=0, atol=0)
 
 
+def test_fused_phash_encode_bit_identical(images):
+    """The fused phash->cell UDF must equal encoding the native lat/lng
+    columns (same kernel, same anchor arithmetic)."""
+    from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
+
+    enc = encode_images(images)
+    bad = enc.withColumn(
+        "cell_ref", F.coalesce(s2_cell_id(F.col("lat"), F.col("lng")), F.lit(0))
+    ).filter(F.col("cell_id") != F.col("cell_ref")).count()
+    assert bad == 0
+
+
 def test_run_pipeline_end_to_end(tmp_path, spark, images):
     layers = [rect_layer("hemi_n", 0.0, -180.0, 90.0, 180.0), cap_layer("cap0", 10.0, 10.0, 30.0)]
     out = str(tmp_path / "tiles")

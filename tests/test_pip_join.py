@@ -47,7 +47,7 @@ def points_pdf(points):
     return points.toPandas()
 
 
-@pytest.mark.parametrize("strategy", ["ancestor", "range"])
+@pytest.mark.parametrize("strategy", ["ancestor", "range", "stab"])
 def test_pip_join_matches_bruteforce(points, points_pdf, strategy):
     layers = make_layers()
     result = pip_join(points, layers, strategy=strategy)

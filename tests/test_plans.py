@@ -65,14 +65,17 @@ def test_auto_strategy_small_covering_takes_range(spark, points):
     assert plan.count("ArrowEvalPython") == 1
 
 
-def test_auto_strategy_large_covering_takes_ancestor(spark, points):
+def test_auto_strategy_large_covering_takes_stab(spark, points):
     # ...and a large covering (ALL_LAYERS -> 56 cells) crosses the breakeven
-    # into the ancestor-explode equi-join.
+    # into the interval-stab lookup: a broadcast equi-join on the segment id
+    # with NO ancestor explode (no Generate node) — the fact side is never
+    # row-amplified.
     from __spark_entry__ import ALL_LAYERS
 
     plan = plan_of(pip_join(points, ALL_LAYERS))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" not in plan  # no explode anywhere in the stab plan
 
 
 def test_salted_join_shuffles(spark, points):
@@ -96,8 +99,13 @@ def test_poly_refinement_single_pass(spark, points):
     from __spark_entry__ import ALL_LAYERS
 
     plan = plan_of(pip_join(points, ALL_LAYERS))
-    # exactly two python ops: the encode and the parity refinement —
-    # proof the refine is single-pass (no union of per-kind branches)
-    assert plan.count("ArrowEvalPython") == 2
+    # exactly three python ops: the encode, the stab segment lookup (8B in /
+    # 4B out per row), and the parity refinement — proof the refine is
+    # single-pass (no union of per-kind branches)
+    assert plan.count("ArrowEvalPython") == 3
     # and one scan of the source
     assert plan.count("Scan parquet") == 1
+    plan_anc = plan_of(pip_join(points, ALL_LAYERS, strategy="ancestor"))
+    # the ancestor strategy keeps the original two-hop shape
+    assert plan_anc.count("ArrowEvalPython") == 2
+    assert plan_anc.count("Scan parquet") == 1
