@@ -114,6 +114,55 @@ def main() -> None:
 
         timed("image_stats_50k", lambda: image_stats(synthetic_images(spark, 50000, partitions=cpus)).count())
 
+    if os.environ.get("BENCH_BINARY_E2E", "") == "1":
+        # Binary-corpus e2e: decode + PSNR-verify (the north star's per-row
+        # invariant) + geotag-encode + polygon-join + tile-assign.  At the
+        # real 10^12-image corpus the per-row decode dominates, so THIS is
+        # the job whose scaling matters; the metadata-only e2e below
+        # isolates the spatial path.  Row count is smaller because each row
+        # carries ~17 KB of pixels.
+        from s2_geometry_library_java_spark.operators.images import image_stats
+
+        n_bin = int(os.environ.get("BENCH_N_BIN_IMAGES", "1000000"))
+        bin_dir = os.environ.get("BENCH_BIN_IMAGES_DIR", f"/tmp/s2bench_images_bin_{n_bin}")
+        if not os.path.exists(os.path.join(bin_dir, "_SUCCESS")):
+            synthetic_images(spark, n_bin, partitions=128, with_bytes=True).write.mode(
+                "overwrite"
+            ).parquet(bin_dir)
+
+        def e2e_bin_job() -> int:
+            imgs = spark.read.parquet(bin_dir)
+            stats = image_stats(imgs, passthrough=("phash",))
+            verified = stats.filter(F.col("psnr") >= 40.0)
+            enc = encode_images(verified.select("phash"))
+            m = pip_join(enc, ALL_LAYERS)
+            return tile_manifest(m, tile_level=7).count()
+
+        for _ in range(int(os.environ.get("BENCH_WARMUPS", "3"))):
+            e2e_bin_job()
+        ebin = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            bin_man = e2e_bin_job()
+            ebin = min(ebin, time.time() - t0)
+        timings["e2e_images"] = round(ebin, 3)
+        extras["images_per_sec"] = round(n_bin / max(ebin, 1e-9))
+        extras["n_images"] = n_bin
+        extras["manifest_rows"] = bin_man
+        extras["binary_path"] = 1
+        result = {
+            "metric": "images_sec_e2e_decode_verify_encode_join_tile",
+            "value": timings["e2e_images"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+            **extras,
+        }
+        print(json.dumps(result))
+        spark.stop()
+        return
+
     # north metric: images/sec end-to-end encode + polygon-join + tile-assign
     # over a MATERIALIZED images table (the north rule's input is an Iceberg
     # table; parquet stands in).  The scan projects only (image_id, phash) —

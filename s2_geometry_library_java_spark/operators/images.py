@@ -50,10 +50,12 @@ def _source_pixels_batch(ids: np.ndarray, k: int) -> np.ndarray:
     return vals.astype(np.uint8)
 
 
-def image_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+def image_stats_pandas(pdf: pd.DataFrame, passthrough: tuple[str, ...] = ()) -> pd.DataFrame:
     """Per-image decode + stats for one pandas batch (shared by the Spark
     operator and the driver-side golden oracle, so FP operation order is
-    identical by construction)."""
+    identical by construction).  ``passthrough`` columns (e.g. the phash
+    geotag key) are copied to the output so a decode stage can feed a
+    downstream join without re-scanning the source."""
     n = len(pdf)
     mean_r = np.empty(n)
     mean_g = np.empty(n)
@@ -79,7 +81,7 @@ def image_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             mean_g[sel] = rgb[:, :, 1].mean(axis=1)
             mean_b[sel] = rgb[:, :, 2].mean(axis=1)
             std_all[sel] = P.std(axis=1)
-    out = pdf[["image_id", "w", "h", "fmt", "caption"]].reset_index(drop=True).copy()
+    out = pdf[["image_id", "w", "h", "fmt", "caption", *passthrough]].reset_index(drop=True).copy()
     out["mean_r"] = mean_r
     out["mean_g"] = mean_g
     out["mean_b"] = mean_b
@@ -88,18 +90,22 @@ def image_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def image_stats(images: DataFrame) -> DataFrame:
+_PASSTHROUGH_TYPES = {"phash": "long"}
+
+
+def image_stats(images: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Decode + per-image feature extraction (mean/std per channel) and PSNR
     vs the recomputable ground truth.  Infinite PSNR (lossless) -> 999.0."""
+    extra = "".join(f", {c} {_PASSTHROUGH_TYPES[c]}" for c in passthrough)
     schema = (
-        "image_id string, w int, h int, fmt string, caption string, "
+        f"image_id string, w int, h int, fmt string, caption string{extra}, "
         "mean_r double, mean_g double, mean_b double, std_all double, psnr double"
     )
 
     def it(batches):
         for pdf in batches:
             if len(pdf):
-                yield image_stats_pandas(pdf.reset_index(drop=True))
+                yield image_stats_pandas(pdf.reset_index(drop=True), passthrough)
 
     return images.mapInPandas(it, schema)
 

@@ -34,6 +34,8 @@ def run_at(cpus: int, n_images: int, sf_dir: str) -> dict:
         BENCH_ONLY_E2E="1",
         BENCH_N_IMAGES=str(n_images),
     )
+    if os.environ.get("SCALING_BINARY", "") == "1":
+        env.update(BENCH_BINARY_E2E="1", BENCH_N_BIN_IMAGES=str(n_images))
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, timeout=1800,
@@ -69,8 +71,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         fh.write(f"""# BENCH/BASELINE.md — scaling evidence (generated {stamp})
 
-Job: end-to-end encode + polygon-join + tile-assign over {n_images:,}
-deterministic synthetic image rows (metadata path), identical input at both
+Job: end-to-end {'decode + PSNR-verify + ' if os.environ.get('SCALING_BINARY') == '1' else ''}encode + polygon-join + tile-assign over {n_images:,}
+deterministic synthetic image rows ({'binary corpus' if os.environ.get('SCALING_BINARY') == '1' else 'metadata path'}), identical input at both
 parallelism levels; fresh JVM per run via subprocess (scripts/run_scaling.py).
 
 | cores | e2e sec | images/sec |

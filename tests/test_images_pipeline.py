@@ -47,6 +47,18 @@ def test_image_payload_invariants(images):
         assert r["caption"] == captions[r["image_id"]]
 
 
+def test_image_stats_passthrough_keys(images):
+    """passthrough=('phash',) keeps the geotag key on decode output so the
+    binary-corpus pipeline (decode -> verify -> encode -> join) needs no
+    join back to the source."""
+    out = image_stats(images.limit(50), passthrough=("phash",))
+    rows = out.collect()
+    assert "phash" in out.columns and len(rows) == 50
+    src = {r["image_id"]: r["phash"] for r in images.limit(50).collect()}
+    for r in rows:
+        assert r["phash"] == src[r["image_id"]]
+
+
 def test_resize_images(images):
     out = resize_images(images.limit(20), target=8)
     rows = out.collect()
