@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, IntegerType
+from pyspark.sql.types import BooleanType, IntegerType, LongType, StructField, StructType
 
 from s2_geometry_library_java_spark.functions.native import ancestors_expr, biased
 from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
@@ -277,6 +277,48 @@ def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
     return "range" if len(covering) <= RANGE_BREAKEVEN_CELLS else "stab"
 
 
+_CELL_SEG_TYPE = StructType(
+    [StructField("cell", LongType(), False), StructField("seg", IntegerType(), False)]
+)
+
+
+def stab_candidates_fused(
+    points: DataFrame,
+    covering: list[tuple],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Encode + interval-stab in ONE Arrow hop: a struct UDF returns
+    (cell_id, segment) together, so un-encoded points pay a single Python
+    round trip instead of encode-hop + seg-hop.  Identical results to
+    with_cell_id + stab_candidates (same kernel, same searchsorted)."""
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+
+    bounds, seg_rows = _stab_structure(covering)
+
+    @pandas_udf(_CELL_SEG_TYPE)
+    def cell_seg(lat_s: pd.Series, lng_s: pd.Series) -> pd.DataFrame:
+        ids = ck.from_latlng_degrees(
+            lat_s.to_numpy(dtype=np.float64), lng_s.to_numpy(dtype=np.float64)
+        )
+        seg = np.searchsorted(bounds, ids ^ _U64_BIAS, side="right") - 1
+        return pd.DataFrame({"cell": ids.view(np.int64), "seg": seg.astype(np.int32)})
+
+    spark = points.sparkSession
+    seg_df = spark.createDataFrame(
+        seg_rows, "_seg int, polygon_id string, is_interior boolean"
+    )
+    pts = (
+        points.withColumn("_cs", cell_seg(F.col(lat_col), F.col(lng_col)))
+        .withColumn(cell_col, F.col("_cs.cell"))
+        # coalesce marks the join key non-null (see with_cell_id)
+        .withColumn("_seg", F.coalesce(F.col("_cs.seg"), F.lit(-1)))
+        .drop("_cs")
+    )
+    return pts.join(F.broadcast(seg_df), "_seg", "inner").drop("_seg")
+
+
 def pip_join(
     points: DataFrame,
     layers: list[Layer],
@@ -314,10 +356,12 @@ def pip_join(
             strategy = "ancestor"
         else:
             strategy = choose_strategy(rows, covering_levels(rows))
-    pts = with_cell_id(points, lat_col, lng_col, cell_col)
-    if strategy == "stab":
-        cand = stab_candidates(pts, rows, cell_col)
+    if strategy == "stab" and cell_col not in points.columns:
+        cand = stab_candidates_fused(points, rows, lat_col, lng_col, cell_col)
+    elif strategy == "stab":
+        cand = stab_candidates(points, rows, cell_col)
     else:
+        pts = with_cell_id(points, lat_col, lng_col, cell_col)
         cells_df = spark.createDataFrame(rows, COVERING_SCHEMA)
         cand = assign_candidates(
             pts, cells_df, covering_levels(rows), cell_col, strategy, broadcast_cells, salt

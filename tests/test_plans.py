@@ -99,12 +99,15 @@ def test_poly_refinement_single_pass(spark, points):
     from __spark_entry__ import ALL_LAYERS
 
     plan = plan_of(pip_join(points, ALL_LAYERS))
-    # exactly three python ops: the encode, the stab segment lookup (8B in /
-    # 4B out per row), and the parity refinement — proof the refine is
+    # exactly two python ops on un-encoded input: the FUSED encode+stab
+    # struct hop and the parity refinement — proof the refine is
     # single-pass (no union of per-kind branches)
-    assert plan.count("ArrowEvalPython") == 3
+    assert plan.count("ArrowEvalPython") == 2
     # and one scan of the source
     assert plan.count("Scan parquet") == 1
+    # pre-encoded input pays the extra (8B in / 4B out) seg hop instead
+    plan_pre = plan_of(pip_join(with_cell_id(points), ALL_LAYERS))
+    assert plan_pre.count("ArrowEvalPython") == 3
     plan_anc = plan_of(pip_join(points, ALL_LAYERS, strategy="ancestor"))
     # the ancestor strategy keeps the original two-hop shape
     assert plan_anc.count("ArrowEvalPython") == 2
