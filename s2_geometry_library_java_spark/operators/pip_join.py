@@ -139,11 +139,15 @@ def _stab_structure(rows: list[tuple]) -> tuple[np.ndarray, list[tuple]]:
         if hi != u64_max:  # end+1 would wrap; the last segment is open-ended
             bset.add(int(hi) + 1)
     bounds = np.array(sorted(bset), dtype=np.uint64)
+    # Every interval endpoint is a boundary, so interval j covers exactly the
+    # contiguous segment span [searchsorted(rmin_j), searchsorted(rmax_j,
+    # right)-1] — O(N log B + output) driver cost, no pairwise scan.
+    lo_seg = np.searchsorted(bounds, rmin, side="left")
+    hi_seg = np.searchsorted(bounds, rmax, side="right") - 1
     seg_rows: list[tuple] = []
-    for s, start in enumerate(bounds):
-        for j, r in enumerate(rows):
-            if rmin[j] <= start <= rmax[j]:
-                seg_rows.append((s, r[0], r[5]))
+    for j, r in enumerate(rows):
+        for s in range(int(lo_seg[j]), int(hi_seg[j]) + 1):
+            seg_rows.append((int(s), r[0], r[5]))
     return bounds, seg_rows
 
 
@@ -258,6 +262,10 @@ def pip_semi_join(
 
 
 RANGE_BREAKEVEN_CELLS = 48
+# Above this the covering should not be broadcast at all (the segment table
+# grows with covering size and overlap); the shuffled ancestor join is the
+# strategy that scales to huge layer dimensions.
+STAB_MAX_CELLS = 65536
 
 
 def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
@@ -273,8 +281,11 @@ def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
     broadcastable ones take the stab lookup (measured: beats the ancestor
     explode's fan-out bandwidth at 10^8-row scale); non-broadcastable
     coverings (huge layer dimensions) must use the shuffled ancestor join —
-    that case is forced by the caller via broadcast_cells=False."""
-    return "range" if len(covering) <= RANGE_BREAKEVEN_CELLS else "stab"
+    forced by the caller via broadcast_cells=False, or chosen here when the
+    covering outgrows what a broadcast segment table should hold."""
+    if len(covering) <= RANGE_BREAKEVEN_CELLS:
+        return "range"
+    return "stab" if len(covering) <= STAB_MAX_CELLS else "ancestor"
 
 
 _CELL_SEG_TYPE = StructType(

@@ -69,6 +69,46 @@ def test_no_duplicate_matches(points):
     assert dups == 0
 
 
+def test_stab_structure_matches_direct_range_membership():
+    """Pure-NumPy cross-check: for random covering intervals (random cells at
+    random levels, including face-5 cells whose range_max is the global max
+    leaf), the segment table must give exactly the covering rows whose
+    [range_min, range_max] contain each probe id — the S2CellUnion.contains
+    semantics the stab join implements."""
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+    from s2_geometry_library_java_spark.operators.pip_join import _stab_structure, _U64_BIAS
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89, 89, 200)
+    lng = rng.uniform(-179, 179, 200)
+    leaves = ck.from_latlng_degrees(lat, lng)
+    levels = rng.integers(2, 12, 200)
+    cells = ck.parent(leaves, levels)
+    # force one cell that ends at the global max leaf (face 5, level 0)
+    cells[0] = np.uint64(5 << 61) | np.uint64(1 << 60)
+    rmin = ck.range_min(cells).view(np.int64)
+    rmax = ck.range_max(cells).view(np.int64)
+    rows = [
+        (f"p{k}", int(cells.view(np.int64)[k]), int(levels[k] if k else 0),
+         int(rmin[k]), int(rmax[k]), bool(k % 2))
+        for k in range(len(cells))
+    ]
+    bounds, seg_rows = _stab_structure(rows)
+    by_seg: dict[int, set] = {}
+    for s, pid, interior in seg_rows:
+        by_seg.setdefault(s, set()).add((pid, interior))
+    probes = ck.from_latlng_degrees(rng.uniform(-90, 90, 3000), rng.uniform(-180, 180, 3000))
+    pb = probes ^ _U64_BIAS
+    segs = np.searchsorted(bounds, pb, side="right") - 1
+    lo = rmin.view(np.uint64) ^ _U64_BIAS
+    hi = rmax.view(np.uint64) ^ _U64_BIAS
+    for p, s in zip(pb, segs):
+        expect = {
+            (rows[k][0], rows[k][5]) for k in range(len(rows)) if lo[k] <= p <= hi[k]
+        }
+        assert by_seg.get(int(s), set()) == expect
+
+
 def test_covering_df_shape_and_interior(spark):
     layers = [cap_layer("c", 10.0, 20.0, 10.0)]
     rows = covering_rows(layers, max_cells=16)
