@@ -155,3 +155,14 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
         "video decode requires ffmpeg/pyav, not present in this container; "
         "the plumbing would mirror image_stats (mapInPandas over binary + frame index explode)"
     )
+
+
+def audio_features(audio: DataFrame, window_ms: int = 25) -> DataFrame:
+    """Audio windowed feature extraction — STUB: no audio codec in this
+    container.  The plumbing mirrors image_stats: opaque ``bytes`` column +
+    (sample_rate, channels, fmt) metadata, mapInPandas decoding each batch
+    to a (rows, samples) float array, then whole-matrix window energy/ZCR."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/ffmpeg, not present in this container; "
+        "swap this stub for a decoder inside the same mapInPandas batch loop"
+    )

@@ -126,10 +126,9 @@ def _stab_structure(rows: list[tuple]) -> tuple[np.ndarray, list[tuple]]:
 
     Segment s spans [bounds[s], bounds[s+1]) in biased (unsigned-order)
     space; every interval endpoint is a boundary, so an interval covers a
-    segment iff it covers the segment's start — membership is decided once
-    per segment on the driver, then a leaf id's containing intervals are
-    exactly its segment's list.  Driver cost is O(|rows| * segments), fine
-    for broadcastable coverings (hundreds of cells)."""
+    segment iff it covers the segment's start, and the covered segments form
+    one contiguous span per interval.  A leaf id's containing intervals are
+    exactly its segment's list.  Driver cost is O(N log B + output)."""
     rmin = np.array([r[3] for r in rows], dtype=np.int64).view(np.uint64) ^ _U64_BIAS
     rmax = np.array([r[4] for r in rows], dtype=np.int64).view(np.uint64) ^ _U64_BIAS
     u64_max = np.uint64(0xFFFFFFFFFFFFFFFF)
