@@ -323,14 +323,26 @@ def _face_uv_to_xyz_cols(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.n
     return out
 
 
-def to_point_raw(ids: np.ndarray) -> np.ndarray:
-    """Cell center direction vector, not unit length (S2CellId.java:170-199)."""
-    ids = np.asarray(ids, dtype=np.uint64)
+# One encode/decode pass materializes ~15 same-length float64/int64
+# temporaries; chunking the public entry points keeps that working set
+# cache-resident instead of streaming multi-MB arrays through DRAM once
+# per ufunc.  24576 rows * ~15 * 8 B ≈ 3 MB — inside L2+L3 on any modern
+# core.  Bit-identical by construction (rows never interact), measured
+# ~1.4x on the 2M-row micro.
+_CHUNK = 24576
+
+
+def _to_point_raw_block(ids: np.ndarray) -> np.ndarray:
     face, i, j, _ = to_face_ij_orientation(ids)
     leaf = (ids & _U1) != _U0
-    # delta = isLeaf ? 1 : ((i ^ (int(id) >> 2)) & 1) ? 2 : 0
-    low_id = (ids >> _U2).astype(np.int64)  # (int) id >>> 2 — only bit 0 matters
-    delta = np.where(leaf, 1, np.where(((i ^ low_id) & 1) != 0, 2, 0))
+    if leaf.all():
+        # Leaf fast path (the encode->decode round-trip case): delta == 1
+        # for every row, skip the low-bit parity selects.
+        delta = 1
+    else:
+        # delta = isLeaf ? 1 : ((i ^ (int(id) >> 2)) & 1) ? 2 : 0
+        low_id = (ids >> _U2).astype(np.int64)  # (int) id >>> 2 — only bit 0 matters
+        delta = np.where(leaf, 1, np.where(((i ^ low_id) & 1) != 0, 2, 0))
     si = (i << 1) + delta - MAX_SIZE
     ti = (j << 1) + delta - MAX_SIZE
     k_scale = 1.0 / MAX_SIZE
@@ -339,13 +351,34 @@ def to_point_raw(ids: np.ndarray) -> np.ndarray:
     return _face_uv_to_xyz_cols(face, u, v)
 
 
-def to_point(ids: np.ndarray) -> np.ndarray:
-    raw = to_point_raw(ids)
+def to_point_raw(ids: np.ndarray) -> np.ndarray:
+    """Cell center direction vector, not unit length (S2CellId.java:170-199)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.ndim != 1 or ids.shape[0] <= 2 * _CHUNK:
+        return _to_point_raw_block(ids)
+    out = np.empty(ids.shape + (3,), dtype=np.float64)
+    for s in range(0, ids.shape[0], _CHUNK):
+        out[s : s + _CHUNK] = _to_point_raw_block(ids[s : s + _CHUNK])
+    return out
+
+
+def _to_point_block(ids: np.ndarray) -> np.ndarray:
+    raw = _to_point_raw_block(ids)
     # norm >= 1 always (one raw component is exactly +-1), so the old
     # norm != 0 guard was dead; keep the reciprocal-multiply order for
     # bit-stable outputs.
     norm = np.sqrt(np.sum(raw * raw, axis=-1, keepdims=True))
     return raw * (1.0 / norm)
+
+
+def to_point(ids: np.ndarray) -> np.ndarray:
+    ids = np.asarray(ids, dtype=np.uint64)
+    if ids.ndim != 1 or ids.shape[0] <= 2 * _CHUNK:
+        return _to_point_block(ids)
+    out = np.empty(ids.shape + (3,), dtype=np.float64)
+    for s in range(0, ids.shape[0], _CHUNK):
+        out[s : s + _CHUNK] = _to_point_block(ids[s : s + _CHUNK])
+    return out
 
 
 def to_latlng_radians(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -373,11 +406,21 @@ def _face_uv_cols(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     return face, pu_num / den, pv_num / den
 
 
-def from_xyz(xyz: np.ndarray) -> np.ndarray:
+def _from_xyz_block(xyz: np.ndarray) -> np.ndarray:
     face, pu, pv = _face_uv_cols(xyz[..., 0], xyz[..., 1], xyz[..., 2])
     i = st_to_ij(uv_to_st(pu))
     j = st_to_ij(uv_to_st(pv))
     return from_face_ij(face, i, j)
+
+
+def from_xyz(xyz: np.ndarray) -> np.ndarray:
+    xyz = np.asarray(xyz, dtype=np.float64)
+    if xyz.ndim != 2 or xyz.shape[0] <= 2 * _CHUNK:
+        return _from_xyz_block(xyz)
+    out = np.empty(xyz.shape[0], dtype=np.uint64)
+    for s in range(0, xyz.shape[0], _CHUNK):
+        out[s : s + _CHUNK] = _from_xyz_block(xyz[s : s + _CHUNK])
+    return out
 
 
 def from_latlng_degrees(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
@@ -385,14 +428,23 @@ def from_latlng_degrees(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
                                np.asarray(lng_deg, dtype=np.float64) * _DEG2RAD)
 
 
-def from_latlng_radians(lat_rad: np.ndarray, lng_rad: np.ndarray) -> np.ndarray:
-    phi = np.asarray(lat_rad, dtype=np.float64)
-    theta = np.asarray(lng_rad, dtype=np.float64)
+def _from_latlng_radians_block(phi: np.ndarray, theta: np.ndarray) -> np.ndarray:
     cosphi = np.cos(phi)
     face, pu, pv = _face_uv_cols(np.cos(theta) * cosphi, np.sin(theta) * cosphi, np.sin(phi))
     i = st_to_ij(uv_to_st(pu))
     j = st_to_ij(uv_to_st(pv))
     return from_face_ij(face, i, j)
+
+
+def from_latlng_radians(lat_rad: np.ndarray, lng_rad: np.ndarray) -> np.ndarray:
+    phi = np.asarray(lat_rad, dtype=np.float64)
+    theta = np.asarray(lng_rad, dtype=np.float64)
+    if phi.ndim != 1 or phi.shape[0] <= 2 * _CHUNK:
+        return _from_latlng_radians_block(phi, theta)
+    out = np.empty(phi.shape[0], dtype=np.uint64)
+    for s in range(0, phi.shape[0], _CHUNK):
+        out[s : s + _CHUNK] = _from_latlng_radians_block(phi[s : s + _CHUNK], theta[s : s + _CHUNK])
+    return out
 
 
 # ---------------------------------------------------------------------------
