@@ -976,6 +976,60 @@ def _golden_image_stats_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Raster -> vector gate: closed boundary rings of a deterministic two-layer
+# tile raster (an L-block with a 2-tile hole on face 2, plus a strip crossing
+# the face-0/face-1 seam).  The distributed path is edge-explode + anti-join
+# cancellation + per-layer ring chaining (operators/vectorize.py); the golden
+# VALUES recompute the cancellation independently with plain Python sets.
+# ---------------------------------------------------------------------------
+_VEC_LEVEL = 7
+
+
+def _vectorize_fixture_rows() -> list[tuple[str, int, int, int]]:
+    rows = [
+        ("hole", 2, x, y)
+        for x in range(40, 46)
+        for y in range(40, 45)
+        if (x, y) not in {(42, 42), (43, 42)}
+    ]
+    n = 1 << _VEC_LEVEL
+    rows += [("seam", 0, n - 1, y) for y in range(20, 24)]
+    rows += [("seam", 1, 0, y) for y in range(20, 24)]
+    return rows
+
+
+def q_boundary_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.operators.vectorize import boundary_rings, raster_df
+
+    return boundary_rings(raster_df(spark, _vectorize_fixture_rows()), _VEC_LEVEL)
+
+
+def _golden_boundary_rows() -> list[tuple]:
+    import pandas as pd
+
+    from s2_geometry_library_java_spark.operators import vectorize as vz
+
+    s = _VEC_LEVEL + 1
+    edges: list[tuple[str, int, int]] = []
+    for layer, f, x, y in _vectorize_fixture_rows():
+        def k(px: int, py: int) -> int:
+            return (f << (2 * s)) + (px << s) + py
+
+        vs = [k(x, y), k(x + 1, y), k(x + 1, y + 1), k(x, y + 1)]
+        edges.extend((layer, vs[i], vs[(i + 1) % 4]) for i in range(4))
+    eset = set(edges)
+    boundary = [(l, a, b) for (l, a, b) in edges if (l, b, a) not in eset]
+    out: list[tuple] = []
+    for layer in sorted({l for l, _, _ in boundary}):
+        pdf = pd.DataFrame(
+            [(l, a, b) for l, a, b in boundary if l == layer],
+            columns=["layer_id", "ka", "kb"],
+        )
+        out.extend(vz._chain_rings(_VEC_LEVEL, pdf).itertuples(index=False, name=None))
+    return [(str(l), int(r), int(q), float(la), float(ln)) for l, r, q, la, ln in out]
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1023,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embed_neardup": q_embed_neardup,
         "event_sessions": q_event_sessions,
+        "boundary_rings": q_boundary_rings,
     }
 
 
@@ -1074,4 +1129,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _Q_ANN_COSINE_SQL,
         "embed_neardup": _Q_EMBED_NEARDUP_SQL,
         "event_sessions": _Q_EVENT_SESSIONS_SQL,
+        "boundary_rings": _values_sql(
+            _golden_boundary_rows(),
+            "layer_id, ring_id, seq, vlat, vlng",
+            casts={"ring_id": "INTEGER", "seq": "INTEGER"},
+        ),
     }
