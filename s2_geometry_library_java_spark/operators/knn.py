@@ -108,17 +108,17 @@ def knn_join(
 
     wq = Window.partitionBy("query_id")
     wrank = wq.orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    main = (
-        cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq))
-        .filter(F.col("_n_in_r") >= k)
-        .withColumn("rank", F.row_number().over(wrank))
-        .filter(F.col("rank") <= k)
-        .drop("_n_in_r")
+    # Rank and the resolution count come off ONE window subtree so the two
+    # consumers below (top-k rows, resolved-query ids) share the SAME
+    # Exchange(query_id) — Spark's ReusedExchange then executes the whole
+    # candidate pipeline (fact scan + encode + bucket join) exactly once per
+    # action instead of once per branch.
+    ranked = cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq)).withColumn(
+        "rank", F.row_number().over(wrank)
     )
+    main = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") <= k)).drop("_n_in_r")
 
-    resolved_q = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n")).filter(
-        F.col("_n") >= k
-    )
+    resolved_q = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") == 1))
     unresolved = qdf.join(resolved_q.select("query_id"), "query_id", "left_anti")
     brute = (
         pts.crossJoin(F.broadcast(unresolved))

@@ -37,6 +37,12 @@ def get_spark(
         # Arrow batch size: big enough to amortize the Python hop, small
         # enough that a (batch x 3 float64) kernel working set stays in cache.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # ...but a 65536-row batch of ~17 KB binary image rows is >1 GB
+        # materialized per Python worker (x32 workers = machine-killing).
+        # The byte cap wins whenever rows are wide: batches close at 32 MB
+        # OR 65536 rows, whichever comes first, so narrow kernel hops keep
+        # their big batches while binary decode stays memory-bounded.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         # Narrow-schema fact tables compress to a few bytes/row, so default
         # 128MB splits under-parallelize small-node benches; 16MB keeps every
         # core fed while still amortizing per-task overhead.  A production
