@@ -53,11 +53,16 @@ def hash61_duck(var: str) -> str:
 
 
 def minhash_sig_spark(hs_col: str = "hs") -> str:
+    # Bind the hash array once via a single-element transform: the K per-
+    # coefficient array_min terms otherwise each re-reference the (inlined)
+    # hs expression tree — higher-order functions are codegen-fallback, so
+    # common-subexpression elimination does not fully cover them (measured
+    # 28% faster signatures on the 5k-doc corpus, identical output).
     parts = [
-        f"array_min(transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        f"array_min(transform(hsx, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
         for a, b in MINHASH_COEFFS
     ]
-    return "array(" + ", ".join(parts) + ")"
+    return f"transform(array({hs_col}), hsx -> array(" + ", ".join(parts) + "))[0]"
 
 
 def minhash_sig_duck(hs_col: str = "hs") -> str:
@@ -187,9 +192,14 @@ NGRAM_W = 3
 
 
 def word_ngrams_spark(col: str = "text", w: int = NGRAM_W) -> str:
+    # The word array is bound ONCE via a single-element transform: naming it
+    # in a projection instead would be collapsed+inlined by Catalyst into the
+    # gram lambda, re-running split() per gram — O(words^2) splitting per doc
+    # (measured 1.8x slower end-to-end on the 5k-doc corpus).
     return (
-        f"array_distinct(transform(sequence(1, greatest(1, size(split({col}, ' ')) - {w - 1})), "
-        f"i -> concat_ws(' ', slice(split({col}, ' '), i, {w}))))"
+        f"array_distinct(flatten(transform(array(split({col}, ' ')), ws -> "
+        f"transform(sequence(1, greatest(1, size(ws) - {w - 1})), "
+        f"i -> concat_ws(' ', slice(ws, i, {w}))))))"
     )
 
 
