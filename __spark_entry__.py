@@ -976,6 +976,97 @@ def _golden_image_stats_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Polygon boolean ops (B5/B6) + relation matrix (P16 wedge semantics) gates:
+# DSL fixtures from S2PolygonTest.java:31-74; the distributed path assembles
+# and clips inside mapInPandas (operators/polyops.py), the oracle is the
+# same row builder flat on the driver as typed VALUES.
+# ---------------------------------------------------------------------------
+_NEAR0 = "-1:0, 0:1, 1:0, 0:-1;"
+_NEAR1 = "-1:-1, -1:0, -1:1, 0:1, 1:1, 1:0, 1:-1, 0:-1;"
+_NEAR2 = "5:-2, -2:5, -1:-2;"
+_NEAR3 = "6:-3, -3:6, -2:-2;"
+_FAR0 = "0:179, 1:180, 0:-179, 2:-180;"
+_FAR1 = "0:179, -1:179, 1:180, -1:-179, 0:-179, 3:-178, 2:-180, 3:178;"
+_ADJ0 = "0:1, 1:1, 2:1, 2:0, 1:0, 0:0;"
+_ADJ1 = "0:2, 1:2, 2:2, 2:1.01, 1:0.99, 0:1.01;"
+_UNADJ = "10:10, 11:10, 12:10, 12:9, 11:9, 10:9;"
+_RECT_A = "0:10, 0:20, 10:20, 10:10;"
+_RECT_B = "5:15, 5:25, 15:25, 15:15;"
+_HOLEY = "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35;"
+
+_BOOLOP_CASES = [
+    ("near01", "intersection", _NEAR0, _NEAR1),
+    ("near01", "union", _NEAR0, _NEAR1),
+    ("rect_overlap", "intersection", _RECT_A, _RECT_B),
+    ("rect_overlap", "union", _RECT_A, _RECT_B),
+    ("adjacent", "union", _ADJ0, _ADJ1),
+    ("disjoint", "intersection", _ADJ0, _UNADJ),
+    ("disjoint", "destructive_union", _ADJ0, _UNADJ),
+    ("holey_rect", "intersection", _HOLEY, _RECT_A),
+    ("holey_rect", "union", _HOLEY, _RECT_A),
+]
+
+_RELATION_PAIRS = [
+    ("near10_near30", _NEAR0 + _NEAR1, _NEAR3 + _NEAR0),
+    ("near10_near32", _NEAR0 + _NEAR1, _NEAR2 + _NEAR3),
+    ("near32_near10", _NEAR2 + _NEAR3, _NEAR0 + _NEAR1),
+    ("near10_far11", _NEAR0 + _NEAR1, _FAR1 + _FAR0),
+    ("rects", _RECT_A, _RECT_B),
+    ("adj", _ADJ0, _ADJ1),
+    ("disjoint", _ADJ0, _UNADJ),
+    ("holey_inner", _HOLEY, _NEAR2),
+    ("holey_rect", _HOLEY, _RECT_A),
+]
+
+
+def q_polygon_boolops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.operators.polyops import polygon_boolops
+
+    df = spark.createDataFrame(
+        _BOOLOP_CASES, "case_id string, op string, dsl_a string, dsl_b string"
+    )
+    return polygon_boolops(df.repartition(4))
+
+
+def q_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2_geometry_library_java_spark.operators.polyops import polygon_relations
+
+    df = spark.createDataFrame(_RELATION_PAIRS, "pair_id string, dsl_a string, dsl_b string")
+    return polygon_relations(df.repartition(4))
+
+
+def _golden_boolop_sql() -> str:
+    import pandas as pd
+
+    from s2_geometry_library_java_spark.operators.polyops import BOOLOP_COLUMNS, boolop_rows_pandas
+
+    pdf = boolop_rows_pandas(
+        pd.DataFrame(_BOOLOP_CASES, columns=["case_id", "op", "dsl_a", "dsl_b"])
+    )
+    rows = [tuple(r) for r in pdf.itertuples(index=False)]
+    return _values_sql(
+        rows,
+        ", ".join(BOOLOP_COLUMNS),
+        casts={"loop_idx": "INTEGER", "depth": "INTEGER", "seq": "INTEGER"},
+    )
+
+
+def _golden_relation_sql() -> str:
+    import pandas as pd
+
+    from s2_geometry_library_java_spark.operators.polyops import (
+        RELATION_COLUMNS,
+        relation_rows_pandas,
+    )
+
+    pdf = relation_rows_pandas(
+        pd.DataFrame(_RELATION_PAIRS, columns=["pair_id", "dsl_a", "dsl_b"])
+    )
+    rows = [tuple(r) for r in pdf.itertuples(index=False)]
+    return _values_sql(rows, ", ".join(RELATION_COLUMNS))
+
+
+# ---------------------------------------------------------------------------
 # Raster -> vector gate: closed boundary rings of a deterministic two-layer
 # tile raster (an L-block with a 2-tile hole on face 2, plus a strip crossing
 # the face-0/face-1 seam).  The distributed path is edge-explode + anti-join
@@ -1078,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "event_sessions": q_event_sessions,
         "boundary_rings": q_boundary_rings,
+        "polygon_boolops": q_polygon_boolops,
+        "polygon_relations": q_polygon_relations,
     }
 
 
@@ -1134,4 +1227,6 @@ def oracle_sql() -> dict[str, str]:
             "layer_id, ring_id, seq, vlat, vlng",
             casts={"ring_id": "INTEGER", "seq": "INTEGER"},
         ),
+        "polygon_boolops": _golden_boolop_sql(),
+        "polygon_relations": _golden_relation_sql(),
     }
