@@ -612,10 +612,15 @@ def _setop_unions():
     u2 = cov.get_covering_union(cap_layer("b", 24.0, 34.0, 8.0).region)
     ex = S2CellUnion(u1.ids.copy())
     ex.expand_level(4)
+    # C8 slice (S2CellUnion.java:246-264): the covering restricted to one
+    # cell — taken at the level-3 ancestor of u1's first cell so the slice
+    # is a proper non-empty subset.
+    sl = u1.intersection_with_cell(ck.parent(u1.ids[:1], 3)[0])
     return [
         ("union", S2CellUnion.union_of(u1, u2)),
         ("intersection", S2CellUnion.intersection_of(u1, u2)),
         ("expand_l4", ex),
+        ("slice_l3", sl),
     ]
 
 
