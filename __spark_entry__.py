@@ -363,6 +363,28 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RADIUS_RAD = 0.12  # ~765 km; 2r well under MIN_WIDTH(0), level from the metric
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query (PointIndex queryCap mode): all points within RADIUS_RAD
+    of each query, via the level-derived vertex-neighbor bucket join."""
+    from s2_geometry_library_java_spark.operators.knn import radius_join
+
+    pts = geotagged_points(spark, sf_dir)
+    res = radius_join(pts, geotagged_queries(spark, sf_dir, limit=KNN_NQ), RADIUS_RAD)
+    return res.select(F.col("query_id").cast("long").alias("query_id"), "point_id")
+
+
+_Q_RADIUS_SQL = f"""
+WITH pts AS ({GEOTAG_POINTS_SQL}),
+ qs AS ({GEOTAG_QUERIES_SQL.format(limit=KNN_NQ)})
+SELECT qs.query_id, pts.point_id
+FROM qs CROSS JOIN pts
+WHERE {haversine_sql('qs.qlat', 'qs.qlng', 'pts.lat', 'pts.lng')} <= {RADIUS_RAD}
+"""
+
+
 _Q_KNN_SQL = f"""
 WITH pts AS ({GEOTAG_POINTS_SQL}),
  qs AS ({GEOTAG_QUERIES_SQL.format(limit=KNN_NQ)}),
@@ -1154,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "tile_manifest": q_tile_manifest,
         "knn": q_knn,
+        "radius_join": q_radius_join,
         "covering_golden": q_covering_golden,
         "cell_neighbors": q_cell_neighbors,
         "loop_area_centroid": q_loop_area_centroid,
@@ -1199,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
         "approx_distinct_cells": _Q_APPROX_DISTINCT_SQL,
         "knn": _Q_KNN_SQL,
+        "radius_join": _Q_RADIUS_SQL,
         "covering_golden": _values_sql(
             _golden_covering_rows(), "polygon_id, token, level, is_interior"
         ),

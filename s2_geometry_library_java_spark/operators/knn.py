@@ -54,6 +54,46 @@ def _as_query_df(points: DataFrame, queries) -> DataFrame:
     )
 
 
+def radius_join(
+    points: DataFrame,
+    queries,
+    radius_rad: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """All (query, point) pairs within great-circle distance ``radius_rad``
+    — the radius-query mode of the reference's PointIndex
+    (S2PolygonBuilder.java:655-689 queryCap semantics): with level L chosen
+    so MIN_WIDTH(L) >= 2r, every point within r of a query lies in one of
+    the <=4 vertex-neighbor buckets of the query's level-L cell, so the
+    candidate set is one broadcast equi-join on the bucket (the fact side
+    takes parent(cell_id, L) — a native bit op, no explode, no shuffle),
+    then one exact haversine filter.  The vertex neighbors of a cell are
+    distinct, so no (query, point) pair is emitted twice.
+    """
+    if 2.0 * radius_rad > metrics.MIN_WIDTH.get_value(0):
+        raise ValueError(
+            f"radius {radius_rad} exceeds the level-0 bucket invariant "
+            f"(2r must be <= MIN_WIDTH(0) = {metrics.MIN_WIDTH.get_value(0):.4f})"
+        )
+    level = min(metrics.MIN_WIDTH.get_max_level(2.0 * radius_rad), ck.MAX_LEVEL - 1)
+    qdf = _as_query_df(points, queries)
+    pts = with_cell_id(points, lat_col, lng_col)
+    q_probe = (
+        with_cell_id(qdf, "qlat", "qlng", "_qcell")
+        .withColumn("_bucket", F.explode(s2_vertex_neighbors_udf(F.col("_qcell"), F.lit(level))))
+        .drop("_qcell")
+    )
+    dist = haversine_expr(F.col("qlat"), F.col("qlng"), F.col(lat_col), F.col(lng_col))
+    return (
+        pts.withColumn("_bucket", parent_expr(F.col("cell_id"), level))
+        .join(F.broadcast(q_probe), "_bucket")
+        .drop("_bucket")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(radius_rad))
+    )
+
+
 def knn_join(
     points: DataFrame,
     queries,

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from s2_geometry_library_java_spark.kernel import cellid as ck
 from s2_geometry_library_java_spark.kernel.predicates import haversine_radians
-from s2_geometry_library_java_spark.operators.knn import knn_join
+from s2_geometry_library_java_spark.operators.knn import knn_join, radius_join
 from s2_geometry_library_java_spark.operators.layers import rect_layer
 from s2_geometry_library_java_spark.operators.pip_join import pip_join, with_cell_id
 from s2_geometry_library_java_spark.operators.tiling import assign_tiles, read_ledger, run_tiled_write, tile_manifest
@@ -40,6 +40,29 @@ def test_knn_matches_bruteforce(spark, sf_dir, points):
         order = sorted(zip(d, ids))[:k]
         expect = [(i + 1, int(pid)) for i, (_, pid) in enumerate(order)]
         assert sorted(got[str(qid)]) == expect, f"query {qid}"
+
+
+def test_radius_join_matches_bruteforce(spark, sf_dir, points):
+    queries = [(r["query_id"], r["qlat"], r["qlng"]) for r in geotagged_queries(spark, sf_dir, limit=8).collect()]
+    r_rad = 0.12
+    result = radius_join(points, queries, r_rad)
+    got = {}
+    for row in result.select("query_id", "point_id").collect():
+        got.setdefault(row["query_id"], set()).add(row["point_id"])
+
+    pdf = points.toPandas()
+    lat = np.radians(pdf["lat"].to_numpy())
+    lng = np.radians(pdf["lng"].to_numpy())
+    ids = pdf["point_id"].to_numpy()
+    for qid, qlat, qlng in queries:
+        d = haversine_radians(np.radians(qlat), np.radians(qlng), lat, lng)
+        expect = {int(pid) for pid in ids[d <= r_rad]}
+        assert got.get(str(qid), set()) == expect, f"query {qid}"
+
+
+def test_radius_join_rejects_oversized_radius(spark, points):
+    with pytest.raises(ValueError, match="level-0 bucket invariant"):
+        radius_join(points, [("q0", 0.0, 0.0)], radius_rad=1.0)
 
 
 def test_knn_k_larger_than_n(spark, points):
