@@ -78,6 +78,21 @@ def test_auto_strategy_large_covering_takes_stab(spark, points):
     assert "Generate" not in plan  # no explode anywhere in the stab plan
 
 
+def test_radius_join_fact_side_stays_narrow(spark, points):
+    # The radius join buckets the fact side with native parent() bit math —
+    # no explode (Generate) on the fact lineage, one broadcast hash join on
+    # the bucket, and the only Generate in the whole plan is the <=4
+    # vertex-neighbor explode on the tiny query side.
+    from s2_geometry_library_java_spark.operators.knn import radius_join
+
+    plan = plan_of(radius_join(points, [("q0", 10.0, 10.0), ("q1", -40.0, 100.0)], 0.1))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") == 1  # query-side neighbor explode only
+    assert plan.count("Scan parquet") == 1  # single pass over the fact table
+    assert "BatchEvalPython" not in plan
+
+
 def test_salted_join_shuffles(spark, points):
     from __spark_entry__ import NATIVE_LAYERS
 
