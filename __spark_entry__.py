@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s2_geometry_library_java_spark.functions.native import (
+    GEOTAG_LAT_SQL,
+    GEOTAG_LNG_SQL,
     MIN_LONG,
     biased,
     face_expr,
@@ -162,6 +164,61 @@ SELECT point_id, cell_id,
 FROM p
 """
 # note: face via (>> 61) & 7 equals unsigned >> 61 for valid ids (top 3 bits <= 5)
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered spark.sql() function surface (functions/sql_api.py):
+    the same bit ops as cellid_bitops but invoked BY NAME from raw SQL via
+    CREATE TEMPORARY FUNCTION (inlined into codegen), plus the haversine and
+    geotag scalar functions."""
+    from s2_geometry_library_java_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark)
+    _pseudo_cells_spark(spark, sf_dir).createOrReplaceTempView("pseudo_cells")
+    # haversine feeds a RANK, not a raw output column: JVM Math.sin and
+    # DuckDB libm differ by 1 ULP on some inputs, so raw doubles through
+    # trig are not hash-comparable (same convention as the knn/pip gates).
+    return spark.sql(
+        """
+        SELECT point_id, cell_id, lvl, face, parent5, rmin, rmax, in_parent, leaf,
+               glat, glng,
+               CAST(row_number() OVER (ORDER BY d0, point_id) AS INT) AS d0_rank
+        FROM (
+          SELECT point_id, cell_id,
+                 s2_level(cell_id) AS lvl,
+                 s2_face(cell_id) AS face,
+                 s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)) AS parent5,
+                 s2_range_min(cell_id) AS rmin,
+                 s2_range_max(cell_id) AS rmax,
+                 s2_cell_contains(s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)), cell_id) AS in_parent,
+                 s2_is_leaf(cell_id) AS leaf,
+                 s2_geotag_lat(point_id) AS glat,
+                 s2_geotag_lng(point_id) AS glng,
+                 s2_haversine_rad(s2_geotag_lat(point_id), s2_geotag_lng(point_id), 0.0D, 0.0D) AS d0
+          FROM pseudo_cells
+        )
+        """
+    )
+
+
+_Q_SQL_API_SQL = f"""
+WITH p AS ({_PSEUDO_SQL})
+SELECT point_id, cell_id,
+  (30 - CAST(round(log2(cell_id & -cell_id) / 2.0) AS INT)) AS lvl,
+  CAST((cell_id >> 61) & 7 AS INT) AS face,
+  ((cell_id & -(CAST(1 AS BIGINT) << (2 * (30 - least(5, lvl_in)))))
+    | (CAST(1 AS BIGINT) << (2 * (30 - least(5, lvl_in))))) AS parent5,
+  (cell_id - ((cell_id & -cell_id) - 1)) AS rmin,
+  (cell_id + ((cell_id & -cell_id) - 1)) AS rmax,
+  TRUE AS in_parent,
+  ((cell_id & 1) = 1) AS leaf,
+  {GEOTAG_LAT_SQL.format(key="point_id")} AS glat,
+  {GEOTAG_LNG_SQL.format(key="point_id")} AS glng,
+  CAST(row_number() OVER (ORDER BY
+    {haversine_sql(GEOTAG_LAT_SQL.format(key="point_id"), GEOTAG_LNG_SQL.format(key="point_id"), "0.0", "0.0")},
+    point_id) AS INT) AS d0_rank
+FROM p
+"""
 
 
 def q_cellid_token(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cellid_bitops": q_cellid_bitops,
         "cellid_token": q_cellid_token,
+        "sql_api": q_sql_api,
         "distinct_cells": q_distinct_cells,
         "cell_rollup": q_cell_rollup,
         "encode_rollup": q_encode_rollup,
@@ -1206,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cellid_bitops": _Q_CELLID_BITOPS_SQL,
         "cellid_token": _Q_CELLID_TOKEN_SQL,
+        "sql_api": _Q_SQL_API_SQL,
         "distinct_cells": _Q_DISTINCT_CELLS_SQL,
         "cell_rollup": _Q_CELL_ROLLUP_SQL,
         "encode_rollup": _golden_encode_rollup_sql(),

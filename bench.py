@@ -198,7 +198,7 @@ def main() -> None:
     for _ in range(int(os.environ.get("BENCH_WARMUPS", "3"))):  # JIT + worker warmup
         e2e_job()
     e2e = float("inf")
-    for _ in range(2):  # best-of-2 against VM noise
+    for _ in range(3):  # best-of-3 against VM noise
         t0 = time.time()
         man_rows = e2e_job()
         e2e = min(e2e, time.time() - t0)

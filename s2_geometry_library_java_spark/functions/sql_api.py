@@ -1,0 +1,115 @@
+"""``spark.sql()`` surface — every cell-id op callable by NAME from SQL.
+
+``register_sql_functions(spark)`` installs two tiers so a reference user can
+drive the engine from plain SQL, not only the DataFrame builders:
+
+1. **SQL scalar functions** (``CREATE OR REPLACE TEMPORARY FUNCTION ...
+   RETURN <expr>``) for the pure bit-arithmetic ops.  Spark inlines the body
+   into the calling query at analysis time, so these constant-fold, push
+   down, and execute inside WholeStageCodegen — identical plans and cost to
+   hand-writing the ``native.py`` Column expressions.  The formulas are the
+   bit-exact images of S2CellId.java:231-338 (level/parent/range),
+   S2CellId.java:897-899 (unsigned order via sign-bit flip), and
+   S2LatLng.java:180-205 (haversine; expression tree kept identical to
+   ``native.haversine_expr`` and the DuckDB oracle so all three produce
+   bit-identical doubles).
+
+2. **Arrow-vectorized pandas UDFs** (``spark.udf.register``) for the trig +
+   Hilbert-table kernels SQL cannot express: encode, decode, token codec,
+   neighbor expansion.
+
+Registration is idempotent (CREATE OR REPLACE / re-register).  All names are
+``s2_``-prefixed to avoid builtin collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# shiftleft(1L, 63) == Long.MIN_VALUE: the sign-bit mask written without a
+# -9223372036854775808 literal (whose unary-minus parse overflows).
+_SIGN = "shiftleft(CAST(1 AS BIGINT), 63)"
+_LSB = "({c} & -{c})"  # lowest set bit, two's complement (S2CellId.java:245)
+
+
+def _rmin(c: str) -> str:
+    return f"({c} - (({c} & -{c}) - 1))"
+
+
+def _rmax(c: str) -> str:
+    return f"({c} + (({c} & -{c}) - 1))"
+
+
+def _sql_scalar_defs() -> list[tuple[str, str]]:
+    from s2_geometry_library_java_spark.functions.native import haversine_sql
+
+    lsb_at = "shiftleft(CAST(1 AS BIGINT), 2 * (30 - level))"
+    return [
+        # --- cell-id bit arithmetic (WholeStageCodegen after inlining) ---
+        (
+            "s2_parent(cell BIGINT, level INT) RETURNS BIGINT",
+            f"(cell & -{lsb_at}) | {lsb_at}",
+        ),
+        ("s2_range_min(cell BIGINT) RETURNS BIGINT", _rmin("cell")),
+        ("s2_range_max(cell BIGINT) RETURNS BIGINT", _rmax("cell")),
+        (
+            "s2_level(cell BIGINT) RETURNS INT",
+            "CAST(30 - round(log2(CAST((cell & -cell) AS DOUBLE)) / 2.0) AS INT)",
+        ),
+        (
+            "s2_face(cell BIGINT) RETURNS INT",
+            "CAST(shiftrightunsigned(cell, 61) AS INT)",
+        ),
+        ("s2_is_leaf(cell BIGINT) RETURNS BOOLEAN", "(cell & 1) = 1"),
+        # unsigned-order sort key (flip the sign bit; total order matches
+        # the reference's unsignedLongLessThan)
+        ("s2_biased(cell BIGINT) RETURNS BIGINT", f"cell ^ {_SIGN}"),
+        (
+            "s2_cell_contains(a BIGINT, b BIGINT) RETURNS BOOLEAN",
+            f"(({_rmin('a')} ^ {_SIGN}) <= (b ^ {_SIGN})) AND "
+            f"((b ^ {_SIGN}) <= ({_rmax('a')} ^ {_SIGN}))",
+        ),
+        (
+            "s2_cell_intersects(a BIGINT, b BIGINT) RETURNS BOOLEAN",
+            f"(({_rmin('b')} ^ {_SIGN}) <= ({_rmax('a')} ^ {_SIGN})) AND "
+            f"(({_rmin('a')} ^ {_SIGN}) <= ({_rmax('b')} ^ {_SIGN}))",
+        ),
+        # --- spherical distance & deterministic geotag derivation ---
+        (
+            "s2_haversine_rad(lat1 DOUBLE, lng1 DOUBLE, lat2 DOUBLE, lng2 DOUBLE) RETURNS DOUBLE",
+            haversine_sql("lat1", "lng1", "lat2", "lng2"),
+        ),
+        # NOTE: not the shared GEOTAG_*_SQL text — Spark parses bare decimal
+        # literals as DecimalType, which would drag the bigint division into
+        # decimal arithmetic (one ULP off the double tree the native exprs
+        # and the DuckDB oracle compute).  D-suffixed literals + an explicit
+        # double cast reproduce native.geotag_lat_expr's tree exactly.
+        (
+            "s2_geotag_lat(key BIGINT) RETURNS DOUBLE",
+            "-90.0D + 180.0D * (CAST((key * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0D)",
+        ),
+        (
+            "s2_geotag_lng(key BIGINT) RETURNS DOUBLE",
+            "-180.0D + 360.0D * (CAST((key * 2246822519 + 1013904223) % 4294967296 AS DOUBLE) / 4294967296.0D)",
+        ),
+    ]
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Install the full s2_* function surface into the session catalog."""
+    for signature, body in _sql_scalar_defs():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {signature} RETURN {body}")
+
+    from s2_geometry_library_java_spark.functions import udfs
+
+    for name, fn in [
+        ("s2_cell_from_latlng", udfs.s2_cell_id),  # full Hilbert encode (K23)
+        ("s2_cell_from_latlng_at_level", udfs.s2_cell_id_at_level),
+        ("s2_cell_lat", udfs.s2_cell_to_lat),  # decode (K10)
+        ("s2_cell_lng", udfs.s2_cell_to_lng),
+        ("s2_token", udfs.s2_token),  # token codec (K18)
+        ("s2_from_token", udfs.s2_from_token),
+        ("s2_vertex_neighbors", udfs.s2_vertex_neighbors_udf),  # K20
+        ("s2_all_neighbors", udfs.s2_all_neighbors_udf),  # K21
+    ]:
+        spark.udf.register(name, fn)
