@@ -60,16 +60,23 @@ def radius_join(
     radius_rad: float,
     lat_col: str = "lat",
     lng_col: str = "lng",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """All (query, point) pairs within great-circle distance ``radius_rad``
     — the radius-query mode of the reference's PointIndex
     (S2PolygonBuilder.java:655-689 queryCap semantics): with level L chosen
     so MIN_WIDTH(L) >= 2r, every point within r of a query lies in one of
     the <=4 vertex-neighbor buckets of the query's level-L cell, so the
-    candidate set is one broadcast equi-join on the bucket (the fact side
-    takes parent(cell_id, L) — a native bit op, no explode, no shuffle),
-    then one exact haversine filter.  The vertex neighbors of a cell are
-    distinct, so no (query, point) pair is emitted twice.
+    candidate set is one equi-join on the bucket (the fact side takes
+    parent(cell_id, L) — a native bit op, no explode), then one exact
+    haversine filter.  The vertex neighbors of a cell are distinct, so no
+    (query, point) pair is emitted twice.
+
+    ``broadcast_queries=True`` (typical: query sets are small) keeps the
+    fact side entirely shuffle-free.  With ``False`` — a query DataFrame too
+    large to broadcast — both sides shuffle on the bucket into a sort-merge/
+    shuffled-hash join; hot buckets (dense cities on both sides) are AQE
+    skew-join territory, the same story as the salted pip_join path.
     """
     if 2.0 * radius_rad > metrics.MIN_WIDTH.get_value(0):
         raise ValueError(
@@ -84,10 +91,12 @@ def radius_join(
         .withColumn("_bucket", F.explode(s2_vertex_neighbors_udf(F.col("_qcell"), F.lit(level))))
         .drop("_qcell")
     )
+    if broadcast_queries:
+        q_probe = F.broadcast(q_probe)
     dist = haversine_expr(F.col("qlat"), F.col("qlng"), F.col(lat_col), F.col(lng_col))
     return (
         pts.withColumn("_bucket", parent_expr(F.col("cell_id"), level))
-        .join(F.broadcast(q_probe), "_bucket")
+        .join(q_probe, "_bucket")
         .drop("_bucket")
         .withColumn("dist", dist)
         .filter(F.col("dist") <= F.lit(radius_rad))

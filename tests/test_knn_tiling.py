@@ -60,6 +60,15 @@ def test_radius_join_matches_bruteforce(spark, sf_dir, points):
         assert got.get(str(qid), set()) == expect, f"query {qid}"
 
 
+def test_radius_join_shuffle_path_matches_broadcast(spark, sf_dir, points):
+    queries = [(r["query_id"], r["qlat"], r["qlng"]) for r in geotagged_queries(spark, sf_dir, limit=4).collect()]
+    a = radius_join(points, queries, 0.12)
+    b = radius_join(points, queries, 0.12, broadcast_queries=False)
+    pairs_a = {(r["query_id"], r["point_id"]) for r in a.select("query_id", "point_id").collect()}
+    pairs_b = {(r["query_id"], r["point_id"]) for r in b.select("query_id", "point_id").collect()}
+    assert pairs_a == pairs_b and pairs_a
+
+
 def test_radius_join_rejects_oversized_radius(spark, points):
     with pytest.raises(ValueError, match="level-0 bucket invariant"):
         radius_join(points, [("q0", 0.0, 0.0)], radius_rad=1.0)

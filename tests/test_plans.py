@@ -93,6 +93,24 @@ def test_radius_join_fact_side_stays_narrow(spark, points):
     assert "BatchEvalPython" not in plan
 
 
+def test_radius_join_large_query_set_shuffles(spark, points):
+    # broadcast_queries=False: the 100M-query shape — both sides shuffle on
+    # the bucket into SMJ/SHJ instead of broadcasting the probe.
+    from s2_geometry_library_java_spark.operators.knn import radius_join
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_of(
+            radius_join(points, [("q0", 10.0, 10.0)], 0.1, broadcast_queries=False)
+        )
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_salted_join_shuffles(spark, points):
     from __spark_entry__ import NATIVE_LAYERS
 
