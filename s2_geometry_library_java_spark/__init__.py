@@ -19,3 +19,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def register_sql_functions(spark):
+    """Install the s2_* function surface into a session catalog (see
+    functions/sql_api.py) — re-exported here so `import
+    s2_geometry_library_java_spark as s2; s2.register_sql_functions(spark)`
+    is the one-line SQL-user onboarding."""
+    from s2_geometry_library_java_spark.functions.sql_api import (
+        register_sql_functions as _impl,
+    )
+
+    _impl(spark)

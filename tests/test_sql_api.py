@@ -112,6 +112,13 @@ def test_sql_intersects_semantics(sql_spark):
     assert row["pi"] and row["ip"] and not row["sib"]
 
 
+def test_package_level_reexport(sql_spark):
+    import s2_geometry_library_java_spark as s2
+
+    s2.register_sql_functions(sql_spark)
+    assert sql_spark.sql("SELECT s2_face(s2_cell_from_latlng(0.0D, -179.0D))").collect()[0][0] in range(6)
+
+
 def test_register_is_idempotent(sql_spark):
     register_sql_functions(sql_spark)
     assert sql_spark.sql("SELECT s2_level(s2_parent(s2_cell_from_latlng(1.0D, 1.0D), 9))").collect()[0][0] == 9
