@@ -260,31 +260,54 @@ def pip_semi_join(
     return points.join(matches, id_col, "left_anti" if negate else "left_semi")
 
 
+# With an UNKNOWN fact-row count, tiny coverings keep the zero-Python BNLJ
+# and anything bigger assumes web-scale rows (design-for-100TB default).
 RANGE_BREAKEVEN_CELLS = 48
+# With a KNOWN fact-row count the model keys on total BNLJ work
+# (rows x covering cells, every compare inside WholeStageCodegen): below the
+# budget the bounded sweep beats paying the interval-stab strategy's
+# per-row Arrow hop + fixed costs (segment-table build, Python worker ramp).
+# Calibrated on local[32], interleaved best-of-N e2e (encode+join+manifest):
+#   8M rows x   56 cells = 4.5e8 -> range 3.4s vs stab 4.2s  (range)
+#   8M rows x  305 cells = 2.4e9 -> range 4.0s vs stab 7.2s  (range)
+#   8M rows x 1412 cells = 1.1e10 -> range 5.9s vs stab 4.7s (stab)
+# 128M rows x   56 cells = 7.2e9 -> range 10.5s vs stab 9.2s (stab)
+# One budget separates all four cleanly.
+RANGE_WORK_BUDGET = 4_000_000_000
 # Above this the covering should not be broadcast at all (the segment table
 # grows with covering size and overlap); the shuffled ancestor join is the
 # strategy that scales to huge layer dimensions.
 STAB_MAX_CELLS = 65536
 
 
-def choose_strategy(covering: list[tuple], levels: list[int]) -> str:
+def choose_strategy(
+    covering: list[tuple], levels: list[int], n_rows: int | None = None
+) -> str:
     """Adaptive plan choice — the engine analog of S2EdgeIndex's lazy-build
     cost model (S2EdgeIndex.java:156-211: brute force until >100 edges and
-    >30 queries make the index pay for itself).
+    >30 queries make the index pay for itself).  Like the reference's
+    predictAdditionalCalls (S2EdgeIndex.java:204-211) it keys on BOTH
+    sides: the covering size and, when the caller supplies it, the
+    fact-side row count ``n_rows`` (exact or estimated).
 
     Per-fact-row cost of the broadcast range join is ~|covering| interval
-    compares (BNLJ probe, no fan-out rows); the interval-stab strategy is
-    O(log |covering|) per row plus one tiny Arrow hop; the ancestor
-    equi-join pays |levels| exploded rows + hash probes but needs no
-    broadcast at all.  Small coverings keep the zero-Python BNLJ; larger
-    broadcastable ones take the stab lookup (measured: beats the ancestor
-    explode's fan-out bandwidth at 10^8-row scale); non-broadcastable
-    coverings (huge layer dimensions) must use the shuffled ancestor join —
-    forced by the caller via broadcast_cells=False, or chosen here when the
-    covering outgrows what a broadcast segment table should hold."""
-    if len(covering) <= RANGE_BREAKEVEN_CELLS:
-        return "range"
-    return "stab" if len(covering) <= STAB_MAX_CELLS else "ancestor"
+    compares (BNLJ probe, zero Python, no fan-out rows) — so its TOTAL work
+    is rows x cells, and it wins while that product stays under
+    RANGE_WORK_BUDGET (see calibration above).  The interval-stab strategy
+    is O(log |covering|) per row but pays one Arrow hop per row plus fixed
+    costs, so it pays off exactly when fan-out bandwidth dominates worker
+    ramp — large row counts or large coverings.  With no row hint, coverings
+    over RANGE_BREAKEVEN_CELLS assume web-scale rows and take stab.
+    Non-broadcastable coverings (huge layer dimensions) must use the
+    shuffled ancestor join — forced by the caller via
+    broadcast_cells=False, or chosen here when the covering outgrows what a
+    broadcast segment table should hold."""
+    n_cells = len(covering)
+    if n_cells > STAB_MAX_CELLS:
+        return "ancestor"
+    if n_rows is not None:
+        return "range" if n_rows * n_cells <= RANGE_WORK_BUDGET else "stab"
+    return "range" if n_cells <= RANGE_BREAKEVEN_CELLS else "stab"
 
 
 _CELL_SEG_TYPE = StructType(
@@ -350,13 +373,17 @@ def pip_join(
     broadcast_cells: bool = True,
     salt: int | None = None,
     precomputed_cells: list[tuple] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """points x layers -> rows of points matched with ``polygon_id``.
 
-    ``strategy="auto"`` (default) applies the I2 cost model: small coverings
-    take the broadcast range join, larger broadcastable ones the vectorized
-    interval-stab lookup; a shuffled or salted request forces the ancestor
-    equi-join (range/stab are broadcast-only by construction)."""
+    ``strategy="auto"`` (default) applies the I2 cost model: coverings up to
+    the measured breakeven take the zero-Python broadcast range join, larger
+    broadcastable ones the vectorized interval-stab lookup; a shuffled or
+    salted request forces the ancestor equi-join (range/stab are
+    broadcast-only by construction).  ``n_rows`` is an optional fact-side
+    row-count hint (exact or estimated) that lets the model keep small fact
+    tables on the range path above the cell breakeven."""
     spark = points.sparkSession
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
@@ -365,7 +392,7 @@ def pip_join(
         if salt or not broadcast_cells:
             strategy = "ancestor"
         else:
-            strategy = choose_strategy(rows, covering_levels(rows))
+            strategy = choose_strategy(rows, covering_levels(rows), n_rows)
     if strategy == "stab" and cell_col not in points.columns:
         cand = stab_candidates_fused(points, rows, lat_col, lng_col, cell_col)
     elif strategy == "stab":

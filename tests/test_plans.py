@@ -66,16 +66,41 @@ def test_auto_strategy_small_covering_takes_range(spark, points):
 
 
 def test_auto_strategy_large_covering_takes_stab(spark, points):
-    # ...and a large covering (ALL_LAYERS -> 56 cells) crosses the breakeven
-    # into the interval-stab lookup: a broadcast equi-join on the segment id
-    # with NO ancestor explode (no Generate node) — the fact side is never
-    # row-amplified.
+    # ...and a covering past the breakeven (ALL_LAYERS -> 56 cells, no row
+    # hint -> assume web-scale rows) crosses into the interval-stab lookup:
+    # a broadcast equi-join on the segment id with NO ancestor explode (no
+    # Generate node) — the fact side is never row-amplified.
     from __spark_entry__ import ALL_LAYERS
 
     plan = plan_of(pip_join(points, ALL_LAYERS))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" not in plan  # no explode anywhere in the stab plan
+
+
+def test_auto_strategy_row_hint(spark, points):
+    # I2 cost model, fact-side term (the predictAdditionalCalls analog,
+    # S2EdgeIndex.java:204-211): with a KNOWN fact-row count the model keys
+    # on total BNLJ work (rows x cells vs RANGE_WORK_BUDGET) — small fact
+    # sides stay on the bounded-work BNLJ instead of paying the stab hop's
+    # fixed costs; web-scale fact sides take the stab lookup.
+    from __spark_entry__ import ALL_LAYERS
+    from s2_geometry_library_java_spark.operators.covering import covering_rows
+    from s2_geometry_library_java_spark.operators.pip_join import choose_strategy
+
+    cov56 = covering_rows(ALL_LAYERS, max_cells=8, min_level=0, max_level=12, level_mod=1)
+    assert choose_strategy(cov56, [], n_rows=8_000_000) == "range"
+    assert choose_strategy(cov56, [], n_rows=128_000_000) == "stab"
+    assert choose_strategy(cov56, [], n_rows=None) == "stab"
+    big = covering_rows(ALL_LAYERS, max_cells=256, min_level=0, max_level=14, level_mod=1)
+    assert len(big) > 1000
+    assert choose_strategy(big, [], n_rows=10_000) == "range"
+    assert choose_strategy(big, [], n_rows=1_000_000_000) == "stab"
+    plan = plan_of(pip_join(points, ALL_LAYERS, n_rows=8_000_000))
+    assert "BroadcastNestedLoopJoin" in plan
+    plan_big = plan_of(pip_join(points, ALL_LAYERS, n_rows=200_000_000))
+    assert "BroadcastNestedLoopJoin" not in plan_big
+    assert "BroadcastHashJoin" in plan_big
 
 
 def test_radius_join_fact_side_stays_narrow(spark, points):
@@ -131,15 +156,19 @@ def test_salted_join_shuffles(spark, points):
 def test_poly_refinement_single_pass(spark, points):
     from __spark_entry__ import ALL_LAYERS
 
+    # default (auto -> stab at 56 cells, no row hint) FUSES encode+stab into
+    # one struct hop on un-encoded input: exactly two python ops total (the
+    # fused hop + the parity refinement) — proof the refine is single-pass
+    # (no union of per-kind branches)
     plan = plan_of(pip_join(points, ALL_LAYERS))
-    # exactly two python ops on un-encoded input: the FUSED encode+stab
-    # struct hop and the parity refinement — proof the refine is
-    # single-pass (no union of per-kind branches)
     assert plan.count("ArrowEvalPython") == 2
-    # and one scan of the source
     assert plan.count("Scan parquet") == 1
+    # the small-fact range path (BNLJ) adds zero Python: encode + parity only
+    plan_rng = plan_of(pip_join(points, ALL_LAYERS, strategy="range"))
+    assert plan_rng.count("ArrowEvalPython") == 2
+    assert plan_rng.count("Scan parquet") == 1
     # pre-encoded input pays the extra (8B in / 4B out) seg hop instead
-    plan_pre = plan_of(pip_join(with_cell_id(points), ALL_LAYERS))
+    plan_pre = plan_of(pip_join(with_cell_id(points), ALL_LAYERS, strategy="stab"))
     assert plan_pre.count("ArrowEvalPython") == 3
     plan_anc = plan_of(pip_join(points, ALL_LAYERS, strategy="ancestor"))
     # the ancestor strategy keeps the original two-hop shape
