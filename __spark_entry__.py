@@ -877,12 +877,31 @@ SELECT query_id, vec_id, rank, sim FROM r WHERE rank <= {ANN_K}
 """
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN (approximate; recall vs brute force pinned in
-    tests) — no SQL oracle by nature."""
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN, gated through its deterministic recall
+    companion: the approximate top-k itself can't hash-match an oracle, but
+    its per-query recall against the exact brute top-k is an exact,
+    recomputable number — the golden oracle recomputes the identical
+    pipeline single-process (ann.lsh_recall_local)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann.lsh_cosine_topk(emb, dim=dim, n_queries=ANN_NQ, k=ANN_K)
+    return ann.lsh_recall(emb, dim=dim, n_queries=ANN_NQ, k=ANN_K)
+
+
+def _golden_lsh_recall_rows() -> list[tuple]:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{_GATE_SF}/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).df()
+    finally:
+        con.close()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return ann.lsh_recall_local(M, ids, n_queries=ANN_NQ, k=ANN_K)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,7 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "embed_neardup": q_embed_neardup,
         "event_sessions": q_event_sessions,
         "boundary_rings": q_boundary_rings,
@@ -1308,6 +1327,11 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": _text_profile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
+        "ann_lsh_recall": _values_sql(
+            _golden_lsh_recall_rows(),
+            "query_id, n_hits, recall",
+            casts={"query_id": "BIGINT", "n_hits": "INTEGER"},
+        ),
         "embed_neardup": _Q_EMBED_NEARDUP_SQL,
         "event_sessions": _Q_EVENT_SESSIONS_SQL,
         "boundary_rings": _values_sql(

@@ -8,7 +8,9 @@
   sign-bit signatures from D deterministic hyperplanes (seeded NumPy,
   computed in one vectorized pandas UDF), candidates = bucket collisions
   (multi-probe over all 1-bit flips), exact cosine re-rank within
-  candidates.  Recall is validated against brute force in pytest.
+  candidates.  Recall is validated against brute force in pytest, and
+  ``lsh_recall`` emits the per-query recall as a deterministic DataFrame
+  (gated against the single-process ``lsh_recall_local`` golden).
 - ``embedding_neardup``: near-duplicate pairs with cosine >= threshold.
 """
 
@@ -67,6 +69,22 @@ def cosine_topk(
 def _hyperplanes(dim: int, bits: int = LSH_BITS, tables: int = LSH_TABLES) -> np.ndarray:
     rng = np.random.default_rng(LSH_SEED)
     return rng.standard_normal((tables, bits, dim))
+
+
+def _fold_cosine(VA: np.ndarray, VB: np.ndarray) -> np.ndarray:
+    """Cosine via strict left-fold dots — the exact operation order of
+    aggregate(zip_with(a,b,...)): acc starts at 0.0 and adds terms in
+    index order, vectorized across pairs.  Shared by the distributed
+    operators' exact re-score and the single-process golden recomputes so
+    both sides of a gate produce bit-identical doubles."""
+    da = np.zeros(len(VA))
+    db = np.zeros(len(VA))
+    dab = np.zeros(len(VA))
+    for d in range(VA.shape[1]):
+        da += VA[:, d] * VA[:, d]
+        db += VB[:, d] * VB[:, d]
+        dab += VA[:, d] * VB[:, d]
+    return dab / (np.sqrt(da) * np.sqrt(db))
 
 
 def with_lsh_buckets(
@@ -132,6 +150,75 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
     )
+
+
+def lsh_recall(
+    embeddings: DataFrame,
+    dim: int,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Per-query recall of the multi-table LSH top-k against the exact brute
+    top-k: (query_id, n_hits, recall) — the deterministic companion that
+    makes the approximate operator gate-able (an approximate result set
+    can't hash-match an oracle, but its recall against the exact answer is
+    itself an exact, recomputable number).  One left join of the brute top-k
+    onto the LSH top-k, then a per-query count."""
+    lsh = lsh_cosine_topk(embeddings, dim, n_queries, k, id_col, vec_col, bits, tables)
+    brute = cosine_topk(embeddings, n_queries, k, id_col, vec_col)
+    hit = lsh.select("query_id", id_col).withColumn("_hit", F.lit(1))
+    j = brute.select("query_id", id_col).join(hit, ["query_id", id_col], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(float(k)), 9))
+    )
+
+
+def lsh_recall_local(
+    M: np.ndarray,
+    ids: np.ndarray,
+    n_queries: int = 8,
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+) -> list[tuple[int, int, float]]:
+    """Single-process recompute of ``lsh_recall`` for the golden-VALUES
+    oracle (the same trust model as the encode goldens in
+    __spark_entry__.py): identical hyperplanes, identical multi-probe
+    candidate rule (any table within Hamming distance 1), and the
+    strict-left-fold cosine so ranking floats match the distributed
+    aggregate(zip_with) fold bit for bit."""
+    order = np.argsort(ids)
+    ids = np.asarray(ids)[order]
+    M = np.asarray(M, dtype=np.float64)[order]
+    planes = _hyperplanes(M.shape[1], bits, tables)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    sig = np.empty((len(M), tables), dtype=np.int32)
+    for t in range(tables):
+        sig[:, t] = ((M @ planes[t].T > 0) @ weights).astype(np.int32)
+    pop = np.array([bin(x).count("1") for x in range(1 << bits)], dtype=np.int8)
+
+    def topk_ids(qi: int, rows: np.ndarray) -> set:
+        if not len(rows):
+            return set()
+        sims = _fold_cosine(np.broadcast_to(M[qi], (len(rows), M.shape[1])), M[rows])
+        o = np.lexsort((ids[rows], -sims))  # sim desc, id asc — row_number order
+        return set(ids[rows][o[:k]].tolist())
+
+    out: list[tuple[int, int, float]] = []
+    for qi in np.flatnonzero(ids < n_queries):
+        others = np.flatnonzero(ids != ids[qi])
+        brute = topk_ids(qi, others)
+        ham = pop[(sig[others] ^ sig[qi][None, :]) & ((1 << bits) - 1)]
+        lsh = topk_ids(qi, others[ham.min(axis=1) <= 1])
+        n_hits = len(brute & lsh)
+        out.append((int(ids[qi]), n_hits, round(n_hits / k, 9)))
+    return out
 
 
 def ivf_cosine_topk(
@@ -305,19 +392,6 @@ def embedding_neardup(
             StructField("_sim", DoubleType()),
         ]
     )
-
-    def _fold_cosine(VA: np.ndarray, VB: np.ndarray) -> np.ndarray:
-        """Cosine via strict left-fold dots — the exact operation order of
-        aggregate(zip_with(a,b,...)): acc starts at 0.0 and adds terms in
-        index order, vectorized across pairs."""
-        da = np.zeros(len(VA))
-        db = np.zeros(len(VA))
-        dab = np.zeros(len(VA))
-        for d in range(VA.shape[1]):
-            da += VA[:, d] * VA[:, d]
-            db += VB[:, d] * VB[:, d]
-            dab += VA[:, d] * VB[:, d]
-        return dab / (np.sqrt(da) * np.sqrt(db))
 
     def _empty():
         return pd.DataFrame(

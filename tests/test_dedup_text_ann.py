@@ -196,6 +196,21 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert float(np.mean(recalls)) >= 0.8
 
 
+def test_lsh_recall_matches_local_golden(emb, emb_np):
+    """The distributed recall companion (ann_lsh_recall gate) must equal the
+    single-process recompute exactly — same hyperplanes, same multi-probe
+    rule, same fold-cosine ranking."""
+    ids, mat = emb_np
+    k, nq = 5, 8
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in ann.lsh_recall(emb, dim=mat.shape[1], n_queries=nq, k=k).collect()
+    }
+    expect = {q: (n, rec) for q, n, rec in ann.lsh_recall_local(mat, ids, n_queries=nq, k=k)}
+    assert got == expect
+    assert len(got) == nq
+
+
 def test_embedding_neardup(emb, emb_np):
     ids, mat = emb_np
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
