@@ -820,22 +820,54 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (inverted-index join; the
-    deterministic sibling of the MinHash-LSH gate)."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.35)
+    deterministic sibling of the MinHash-LSH gate).  max_df=None: the
+    full-domain exactness gate."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, max_df=None
+    )
+
+
+# The capped gate's df cap must BITE at gate scale to prove anything: sf0.01
+# gram document frequencies top out at 7 (99th pct 4), so 4 actually drops
+# grams while the production default (dedup.NGRAM_MAX_DF) wouldn't.
+NGJ_CAP_DF = 4
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-gram-capped variant (the production default semantics):
+    grams in more than NGJ_CAP_DF docs are pruned, making jaccard a
+    documented lower bound; the oracle applies the identical df filter, so
+    the gate proves exactness on the capped domain."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.35, max_df=NGJ_CAP_DF
+    )
 
 
 _NGJ_RATIO = "round(CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 9)"
-_Q_NGRAM_JACCARD_SQL = f"""
+
+
+def _ngram_jaccard_sql(max_df: int | None = None) -> str:
+    cap = f" HAVING count(*) <= {max_df}" if max_df is not None else ""
+    capped_posts = (
+        f", pc AS (SELECT p.doc_id, p.gh FROM p JOIN (SELECT gh FROM p GROUP BY gh{cap}) f USING (gh))"
+        if max_df is not None
+        else ""
+    )
+    src = "pc" if max_df is not None else "p"
+    return f"""
 WITH g AS (SELECT doc_id, {dedup.word_ngrams_duck('text')} AS grams FROM documents),
  s AS (SELECT doc_id, len(grams) AS n FROM g),
  p0 AS (SELECT doc_id, unnest(grams) AS gram FROM g),
- p AS (SELECT doc_id, md5(gram) AS gh FROM p0),
+ p AS (SELECT doc_id, md5(gram) AS gh FROM p0){capped_posts},
  i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-       FROM p a JOIN p b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       FROM {src} a JOIN {src} b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT i.id_a, i.id_b, i.n_common, {_NGJ_RATIO} AS jaccard
 FROM i JOIN s sa ON sa.doc_id = i.id_a JOIN s sb ON sb.doc_id = i.id_b
 WHERE {_NGJ_RATIO} >= 0.35
 """
+
+
+_Q_NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "text_profile": q_text_profile,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1324,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _Q_SIMHASH_SQL,
         "simhash_pairs": _Q_SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+        "ngram_jaccard_capped": _ngram_jaccard_sql(NGJ_CAP_DF),
         "text_profile": _text_profile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,

@@ -189,6 +189,14 @@ def minhash_neardup_pairs(
 # Exact word-n-gram Jaccard (the non-approximate sibling of MinHash-LSH)
 # ---------------------------------------------------------------------------
 NGRAM_W = 3
+# Default posting-list cap: the inherent exact-Jaccard cost is a gram shared
+# by k docs emitting k^2/2 pair increments INSIDE ONE groupBy("gh") task, so
+# an uncapped stopword gram shared by 10^6 docs is a 5*10^11-row explode on
+# one hot key.  1000 bounds any single gram's contribution to <=500k pairs
+# (one normal task) while leaving discriminative grams — the ones that carry
+# Jaccard signal — untouched.  Capping changes semantics: see
+# ngram_jaccard_pairs.
+NGRAM_MAX_DF = 1000
 
 
 def word_ngrams_spark(col: str = "text", w: int = NGRAM_W) -> str:
@@ -216,10 +224,10 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     w: int = NGRAM_W,
-    max_df: int | None = None,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted-index equi-join —
-    no LSH recall loss (the deterministic sibling of minhash_neardup_pairs).
+    """n-gram Jaccard near-dup pairs via an inverted-index equi-join — no
+    LSH recall loss (the deterministic sibling of minhash_neardup_pairs).
 
     Plan: distinct word n-grams per doc -> posting lists keyed on md5(gram)
     (the shuffle carries 32-byte hashes + ids, never text) -> in-posting
@@ -227,12 +235,16 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|.  Every stage is a hash aggregation or equi-join
     with map-side partials; nothing collects to the driver.
 
-    The inherent exact-Jaccard cost is a gram shared by k docs emitting
-    k^2/2 pair increments.  ``max_df`` caps posting width (drop grams in
-    more than max_df docs — the standard stopword-gram prune); it is OFF by
-    default because it changes semantics: a dropped gram deflates both the
-    intersection and, via the count join, never the union, so jaccard is
-    then a lower bound.
+    ``max_df`` (default NGRAM_MAX_DF) drops grams shared by more than
+    max_df docs — the standard stopword-gram prune — which bounds any one
+    gram's pair explode to max_df^2/2 inside its groupBy task (the hot-key
+    guard that makes this operator survive a web corpus).  CAPPED SEMANTICS
+    ARE A LOWER BOUND: a dropped gram deflates the intersection but never
+    the union (sizes come from the uncapped per-doc gram sets), so reported
+    jaccard <= true jaccard and pairs held together only by ultra-common
+    grams drop out.  Pass ``max_df=None`` for exact full-domain Jaccard
+    (fine at moderate scale; the uncapped gate query proves exactness, the
+    capped gate proves exactness-on-the-capped-domain).
     """
     g = spread(docs).select(
         F.col(id_col), F.expr(word_ngrams_spark(content_col, w)).alias("grams")

@@ -105,6 +105,46 @@ def test_ngram_jaccard_exact_vs_bruteforce(docs, docs_pdf):
         assert got[k][1] == pytest.approx(inter / union, abs=1e-9)
 
 
+def test_ngram_jaccard_max_df_bounds_hot_gram(spark):
+    """The hot-key guard: a stopword gram shared by k docs would emit k^2/2
+    pairs inside ONE groupBy task; with max_df it must be pruned ENTIRELY
+    (bounding any gram's pair explode to max_df^2/2), and the surviving
+    output must equal the capped-domain brute force exactly."""
+    import pandas as pd
+
+    n_hot = 40
+    rows = [(i, f"the common stopword gram u{i}a u{i}b u{i}c") for i in range(n_hot)]
+    # one genuine near-dup pair held together by discriminative grams
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=8).collect()
+    }
+    # every hot-gram-only pair (held together solely by "the common
+    # stopword"/"common stopword gram", df=40 > 8) is gone — without the cap
+    # there would be n_hot*(n_hot-1)/2 of them
+    assert capped == {(100, 101)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=None).collect()
+    }
+    assert len(uncapped) == n_hot * (n_hot - 1) // 2 + 1
+    # capped jaccard is a LOWER bound on true jaccard for surviving pairs
+    j_capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=8).collect()
+    }
+    j_full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).collect()
+    }
+    for pair, j in j_capped.items():
+        assert j <= j_full[pair] + 1e-12
+
+
 def test_simhash_fingerprint_matches_scalar_oracle(docs, docs_pdf):
     import hashlib
 
