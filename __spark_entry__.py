@@ -401,6 +401,64 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing in the gate (the images pattern applied to
+    the round-2 audio stub): synthesize 2000 PCM rows, decode through the
+    fake codec, extract windowed features, verify the SNR >= 40 dB
+    invariant, roll up per fmt with ORDER-INDEPENDENT aggregates only
+    (counts/int sums/float min-max — no distributed float sums, whose
+    reduction order would diverge from the flat golden recompute)."""
+    from s2_geometry_library_java_spark.operators.audio import audio_stats
+    from s2_geometry_library_java_spark.sources.audio import synthetic_audio
+
+    stats = audio_stats(synthetic_audio(spark, 2000, partitions=8))
+    return (
+        stats.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("snr").alias("min_snr"),
+            F.sum(F.when(F.col("snr") >= 40.0, 0).otherwise(1)).alias("snr_violations"),
+            F.sum("n_windows").alias("total_windows"),
+            F.max("rms").alias("max_rms"),
+            F.min("zcr").alias("min_zcr"),
+            F.max("flux").alias("max_flux"),
+            F.max("max_win_rms").alias("max_win_rms"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _golden_audio_stats_sql() -> str:
+    """Flat recomputation of q_audio_stats' per-fmt rollup over the 2000
+    deterministic synthetic audio rows — through the SAME batch-stats helper
+    the Spark operator uses (identical FP operation order by construction)."""
+    from s2_geometry_library_java_spark.operators.audio import audio_stats_pandas
+    from s2_geometry_library_java_spark.sources.audio import audio_pandas
+
+    stats = audio_stats_pandas(audio_pandas(0, 2000))
+    rows = []
+    for fmt, grp in sorted(stats.groupby("fmt"), key=lambda t: t[0]):
+        sn = grp["snr"].to_numpy()
+        rows.append(
+            (
+                str(fmt),
+                len(grp),
+                float(sn.min()),
+                int((sn < 40.0).sum()),
+                int(grp["n_windows"].sum()),
+                float(grp["rms"].max()),
+                float(grp["zcr"].min()),
+                float(grp["flux"].max()),
+                float(grp["max_win_rms"].max()),
+            )
+        )
+    return _values_sql(
+        rows,
+        "fmt, n, min_snr, snr_violations, total_windows, max_rms, min_zcr, max_flux, max_win_rms",
+        casts={"n": "BIGINT", "snr_violations": "BIGINT", "total_windows": "BIGINT"},
+    )
+
+
 def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covering join -> level-5 tile manifests (C5 denormalize bit math);
     oracled by pinned VALUES where DuckDB evaluates membership + tile bit
@@ -1283,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_in_no_layer": q_points_no_layer,
         "approx_distinct_cells": q_approx_distinct_cells,
         "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
         "tile_manifest": q_tile_manifest,
         "knn": q_knn,
         "radius_join": q_radius_join,
@@ -1322,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_rollup": _golden_encode_rollup_sql(),
         "tile_manifest": _golden_tile_manifest_sql(),
         "image_stats": _golden_image_stats_sql(),
+        "audio_stats": _golden_audio_stats_sql(),
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),

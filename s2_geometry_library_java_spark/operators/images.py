@@ -200,11 +200,11 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def audio_features(audio: DataFrame, window_ms: int = 25) -> DataFrame:
-    """Audio windowed feature extraction — STUB: no audio codec in this
-    container.  The plumbing mirrors image_stats: opaque ``bytes`` column +
-    (sample_rate, channels, fmt) metadata, mapInPandas decoding each batch
-    to a (rows, samples) float array, then whole-matrix window energy/ZCR."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg, not present in this container; "
-        "swap this stub for a decoder inside the same mapInPandas batch loop"
-    )
+    """Audio windowed feature extraction — now a REAL operator: see
+    operators/audio.py (deterministic PCM codec in sources/audio.py,
+    grouped-matrix windowed RMS/ZCR/flux + SNR invariant, gated by the
+    ``audio_stats`` golden oracle).  This thin alias keeps the round-2 call
+    site importable."""
+    from s2_geometry_library_java_spark.operators.audio import audio_stats
+
+    return audio_stats(audio)

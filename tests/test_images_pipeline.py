@@ -71,13 +71,6 @@ def test_video_stub_gated(images):
         sample_video_frames(images)
 
 
-def test_audio_stub_gated(images):
-    from s2_geometry_library_java_spark.operators.images import audio_features
-
-    with pytest.raises(NotImplementedError):
-        audio_features(images)
-
-
 def test_encode_images_matches_phash_anchor(images):
     enc = encode_images(images).select("image_id", "phash", "lat", "lng").limit(100).collect()
     ph = np.array([r["phash"] for r in enc], dtype=np.int64)
