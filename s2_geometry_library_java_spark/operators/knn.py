@@ -103,6 +103,12 @@ def radius_join(
     )
 
 
+# "auto" brute-net bound: below this many fact rows a broadcast-NL sweep is
+# one cheap task wave; above it (or when the count is unknown) the sweep
+# would scan the whole corpus per action and is excluded.
+BRUTE_NET_MAX_ROWS = 10_000_000
+
+
 def knn_join(
     points: DataFrame,
     queries,
@@ -112,6 +118,7 @@ def knn_join(
     id_col: str = "point_id",
     init_radius_rad: float | None = None,
     n_points: int | None = None,
+    brute_fallback: str = "auto",
 ) -> DataFrame:
     """points x queries -> (query_id, point columns, dist, rank <= k).
 
@@ -119,6 +126,20 @@ def knn_join(
     list of (query_id, qlat_deg, qlng_deg) tuples.  ``n_points`` sizes the
     search radius; when None it is counted (parquet metadata scan) — pass an
     estimate on very large inputs.
+
+    Unresolved queries (fewer than k in-radius candidates: sparse corners)
+    escalate through a COARSER bucket re-probe (4x the radius, the
+    reference's growing-cap retry in S2ClosestPointQuery semantics) —
+    another bucket equi-join against only the unresolved set, never a
+    scan-amplifying cross join.  The brute broadcast-NL net behind it is
+    the ultimate exactness guarantee (k > n, radius clamped at the level-0
+    invariant), but a BNLJ's streamed side scans the WHOLE corpus even
+    when its build side is empty, so ``brute_fallback="auto"`` includes the
+    net only when the corpus is KNOWN small (n_points counted or hinted
+    <= BRUTE_NET_MAX_ROWS); at web scale a query still unresolved after the
+    re-probe returns no rows (resolved-exactly-or-absent semantics) instead
+    of triggering a 10^12-row scan.  "always"/"never" override.
+    Plan-asserted in tests/test_knn_tiling.py.
     """
     qdf = _as_query_df(points, queries)
     # No cache: the only eager action here is the (column-pruned) count; the
@@ -169,16 +190,60 @@ def knn_join(
 
     resolved_q = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") == 1))
     unresolved = qdf.join(resolved_q.select("query_id"), "query_id", "left_anti")
-    brute = (
-        pts.crossJoin(F.broadcast(unresolved))
-        .withColumn("dist", dist)
-        .withColumn("rank", F.row_number().over(wrank))
-        .filter(F.col("rank") <= k)
-    )
+
+    branches = [main]
+
+    # Coarser re-probe rung: 4x radius (two levels up keeps the 4-bucket
+    # invariant: MIN_WIDTH(level2) >= 2*r2), joined ONLY against the
+    # (broadcast) unresolved set — a second bucket equi-join over the fact
+    # table, never a cross join.  Skipped when the first rung already sits
+    # at the level-0 clamp.
+    r2 = min(4.0 * r, 0.49 * metrics.MIN_WIDTH.get_value(0))
+    level2 = min(metrics.MIN_WIDTH.get_max_level(2.0 * r2), ck.MAX_LEVEL - 1)
+    if level2 < level:
+        q2_probe = (
+            with_cell_id(unresolved, "qlat", "qlng", "_qcell")
+            .withColumn(
+                "_bucket",
+                F.explode(s2_vertex_neighbors_udf(F.col("_qcell"), F.lit(level2))),
+            )
+            .drop("_qcell")
+        )
+        cand2 = (
+            pts.withColumn("_bucket", parent_expr(F.col("cell_id"), level2))
+            .join(F.broadcast(q2_probe), "_bucket")
+            .drop("_bucket")
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= F.lit(r2))
+        )
+        ranked2 = cand2.withColumn("_n_in_r", F.count(F.lit(1)).over(wq)).withColumn(
+            "rank", F.row_number().over(wrank)
+        )
+        branches.append(
+            ranked2.filter((F.col("_n_in_r") >= k) & (F.col("rank") <= k)).drop("_n_in_r")
+        )
+        resolved2 = ranked2.filter((F.col("_n_in_r") >= k) & (F.col("rank") == 1))
+        unresolved = unresolved.join(resolved2.select("query_id"), "query_id", "left_anti")
+
+    # Ultimate exactness net (k > n, radius clamped): only where a corpus
+    # scan is provably cheap — see the docstring's brute_fallback contract.
+    if brute_fallback == "always" or (
+        brute_fallback == "auto" and n_points is not None and n_points <= BRUTE_NET_MAX_ROWS
+    ):
+        brute = (
+            pts.crossJoin(F.broadcast(unresolved))
+            .withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= k)
+        )
+        branches.append(brute)
 
     out_cols = ["query_id", *points.columns, "cell_id", "dist", "rank"]
     seen: list[str] = []
     for c in out_cols:
         if c not in seen:
             seen.append(c)
-    return main.select(*seen).unionByName(brute.select(*seen))
+    out = branches[0].select(*seen)
+    for b in branches[1:]:
+        out = out.unionByName(b.select(*seen))
+    return out

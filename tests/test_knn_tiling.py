@@ -74,6 +74,47 @@ def test_radius_join_rejects_oversized_radius(spark, points):
         radius_join(points, [("q0", 0.0, 0.0)], radius_rad=1.0)
 
 
+def test_knn_unresolved_reprobe_avoids_brute_scan(spark):
+    """The brute-fallback guard: a query whose first-rung bucket probe finds
+    fewer than k candidates (sparse corner) must resolve through the 4x
+    coarser re-probe rung, and the executed (post-AQE) plan must show the
+    brute cross join eliminated by empty-relation propagation — no
+    full-corpus scan per unresolved query."""
+    import pandas as pd
+
+    rng_lat, rng_lng = [], []
+    # dense cluster far away (sets nothing here; realism only)
+    for i in range(200):
+        rng_lat.append(10.0 + 0.002 * i)
+        rng_lng.append(10.0 + 0.003 * (i % 17))
+    # five neighbors around the sparse query at ~0.04-0.05 rad (outside the
+    # 0.02 first-rung radius, inside the 0.08 re-probe radius)
+    sparse = [(-42.6, 100.0), (-37.4, 100.0), (-40.0, 96.5), (-40.0, 103.5), (-42.2, 102.2)]
+    for la, ln in sparse:
+        rng_lat.append(la)
+        rng_lng.append(ln)
+    pdf = pd.DataFrame(
+        {"point_id": range(len(rng_lat)), "lat": rng_lat, "lng": rng_lng}
+    )
+    pts = spark.createDataFrame(pdf)
+    # unknown corpus size (explicit radius, no count) = the web-scale shape:
+    # the auto brute net must stay OUT of the plan entirely — a BNLJ scans
+    # its whole streamed side even with an empty build side
+    res = knn_join(pts, [("q0", -40.0, 100.0)], k=5, init_radius_rad=0.02)
+    rows = res.collect()
+    got = {r["point_id"] for r in rows}
+    assert got == set(range(200, 205))  # the five sparse neighbors
+    assert all(0.02 < r["dist"] <= 0.08 for r in rows)  # rung 1 found none
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # ...and the full exactness net changes nothing on this corpus
+    with_net = knn_join(
+        pts, [("q0", -40.0, 100.0)], k=5, init_radius_rad=0.02, brute_fallback="always"
+    )
+    assert {r["point_id"] for r in with_net.collect()} == got
+
+
 def test_knn_k_larger_than_n(spark, points):
     small = points.limit(3).cache()
     res = knn_join(small, [("q0", 10.0, 10.0)], k=10)
