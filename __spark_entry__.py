@@ -168,9 +168,12 @@ FROM p
 
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered spark.sql() function surface (functions/sql_api.py):
-    the same bit ops as cellid_bitops but invoked BY NAME from raw SQL via
-    CREATE TEMPORARY FUNCTION (inlined into codegen), plus the haversine and
-    geotag scalar functions."""
+    every SQL-scalar s2_* function invoked BY NAME from raw SQL via CREATE
+    TEMPORARY FUNCTION (inlined into codegen) — bit ops, unsigned-order
+    bias, containment/intersection, haversine, geotag + anchor derivations,
+    and the radius-level/metric helpers.  (The Arrow-UDF tier registered
+    alongside — encode/decode/token/neighbors — is gated by cellid_token,
+    encode_rollup, and cell_neighbors.)"""
     from s2_geometry_library_java_spark.functions.sql_api import register_sql_functions
 
     register_sql_functions(spark)
@@ -181,7 +184,8 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT point_id, cell_id, lvl, face, parent5, rmin, rmax, in_parent, leaf,
-               glat, glng,
+               bias, isect_self, isect_far, glat, glng, alat, alng,
+               rad_lvl, mw, aa,
                CAST(row_number() OVER (ORDER BY d0, point_id) AS INT) AS d0_rank
         FROM (
           SELECT point_id, cell_id,
@@ -192,8 +196,19 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                  s2_range_max(cell_id) AS rmax,
                  s2_cell_contains(s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)), cell_id) AS in_parent,
                  s2_is_leaf(cell_id) AS leaf,
+                 s2_biased(cell_id) AS bias,
+                 s2_cell_intersects(s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)), cell_id) AS isect_self,
+                 s2_cell_intersects(
+                   s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)),
+                   s2_parent(cell_id, CAST(least(5, lvl_in) AS INT)) ^ shiftleft(CAST(1 AS BIGINT), 59)
+                 ) AS isect_far,
                  s2_geotag_lat(point_id) AS glat,
                  s2_geotag_lng(point_id) AS glng,
+                 s2_anchor_lat(cell_id) AS alat,
+                 s2_anchor_lng(cell_id) AS alng,
+                 s2_radius_level(0.001D * CAST(1 + point_id % 50 AS DOUBLE)) AS rad_lvl,
+                 s2_min_width(CAST(least(5, lvl_in) AS INT)) AS mw,
+                 s2_avg_area(CAST(least(5, lvl_in) AS INT)) AS aa,
                  s2_haversine_rad(s2_geotag_lat(point_id), s2_geotag_lng(point_id), 0.0D, 0.0D) AS d0
           FROM pseudo_cells
         )
@@ -201,7 +216,12 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_SQL_API_SQL = f"""
+def _sql_api_oracle() -> str:
+    from s2_geometry_library_java_spark.kernel.metrics import AVG_AREA, MIN_WIDTH
+
+    mw = f"CAST('{MIN_WIDTH.deriv!r}' AS DOUBLE)"
+    aa = f"CAST('{AVG_AREA.deriv!r}' AS DOUBLE)"
+    return f"""
 WITH p AS ({_PSEUDO_SQL})
 SELECT point_id, cell_id,
   (30 - CAST(round(log2(cell_id & -cell_id) / 2.0) AS INT)) AS lvl,
@@ -212,13 +232,25 @@ SELECT point_id, cell_id,
   (cell_id + ((cell_id & -cell_id) - 1)) AS rmax,
   TRUE AS in_parent,
   ((cell_id & 1) = 1) AS leaf,
+  xor(cell_id, (-9223372036854775807 - 1)) AS bias,
+  TRUE AS isect_self,
+  FALSE AS isect_far,
   {GEOTAG_LAT_SQL.format(key="point_id")} AS glat,
   {GEOTAG_LNG_SQL.format(key="point_id")} AS glng,
+  (-90.0 + 180.0 * (CAST((cell_id >> 32) & 4294967295 AS DOUBLE) / 4294967296.0)) AS alat,
+  (-180.0 + 360.0 * (CAST(cell_id & 4294967295 AS DOUBLE) / 4294967296.0)) AS alng,
+  LEAST(29, GREATEST(0, CAST(FLOOR(LOG2({mw} /
+    (CAST(0.001 AS DOUBLE) * (1 + point_id % 50)))) AS INT))) AS rad_lvl,
+  {mw} * POWER(CAST(2 AS DOUBLE), CAST(1 - least(5, lvl_in) AS DOUBLE)) AS mw,
+  {aa} * POWER(CAST(2 AS DOUBLE), CAST(2 * (1 - least(5, lvl_in)) AS DOUBLE)) AS aa,
   CAST(row_number() OVER (ORDER BY
     {haversine_sql(GEOTAG_LAT_SQL.format(key="point_id"), GEOTAG_LNG_SQL.format(key="point_id"), "0.0", "0.0")},
     point_id) AS INT) AS d0_rank
 FROM p
 """
+
+
+_Q_SQL_API_SQL = _sql_api_oracle()
 
 
 def q_cellid_token(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,6 @@ from pyspark.sql import SparkSession
 # shiftleft(1L, 63) == Long.MIN_VALUE: the sign-bit mask written without a
 # -9223372036854775808 literal (whose unary-minus parse overflows).
 _SIGN = "shiftleft(CAST(1 AS BIGINT), 63)"
-_LSB = "({c} & -{c})"  # lowest set bit, two's complement (S2CellId.java:245)
 
 
 def _rmin(c: str) -> str:
@@ -38,6 +37,12 @@ def _rmin(c: str) -> str:
 
 def _rmax(c: str) -> str:
     return f"({c} + (({c} & -{c}) - 1))"
+
+
+from s2_geometry_library_java_spark.kernel import metrics as _metrics
+
+_MIN_WIDTH_DERIV = _metrics.MIN_WIDTH.deriv  # sqrt(2)/3 (S2Projections quadratic)
+_AVG_AREA_DERIV = _metrics.AVG_AREA.deriv  # pi/6
 
 
 def _sql_scalar_defs() -> list[tuple[str, str]]:
@@ -84,6 +89,11 @@ def _sql_scalar_defs() -> list[tuple[str, str]]:
         # decimal arithmetic (one ULP off the double tree the native exprs
         # and the DuckDB oracle compute).  D-suffixed literals + an explicit
         # double cast reproduce native.geotag_lat_expr's tree exactly.
+        # KEY DOMAIN: |key| must stay below ~3.47e9 (2^63 / 2654435761) or
+        # the BIGINT multiply wraps — an error under ANSI mode, a lat/lng
+        # outside the valid range otherwise.  The fixture ids this derives
+        # synthetic geotags from are far inside that; arbitrary 64-bit keys
+        # should use s2_anchor_lat/lng (pure bit slicing, full domain).
         (
             "s2_geotag_lat(key BIGINT) RETURNS DOUBLE",
             "-90.0D + 180.0D * (CAST((key * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0D)",
@@ -91,6 +101,35 @@ def _sql_scalar_defs() -> list[tuple[str, str]]:
         (
             "s2_geotag_lng(key BIGINT) RETURNS DOUBLE",
             "-180.0D + 360.0D * (CAST((key * 2246822519 + 1013904223) % 4294967296 AS DOUBLE) / 4294967296.0D)",
+        ),
+        # --- r2 operator helpers, exposed by name (round-3 parity pass) ---
+        # phash -> anchor lat/lng (FIXTURES.md F1, the images-pipeline
+        # geotag derivation; bit slicing, valid over the full 64-bit domain)
+        (
+            "s2_anchor_lat(phash BIGINT) RETURNS DOUBLE",
+            "-90.0D + 180.0D * (CAST(shiftrightunsigned(phash, 32) AS DOUBLE) / 4294967296.0D)",
+        ),
+        (
+            "s2_anchor_lng(phash BIGINT) RETURNS DOUBLE",
+            "-180.0D + 360.0D * (CAST(phash & 4294967295 AS DOUBLE) / 4294967296.0D)",
+        ),
+        # the radius-join bucket level: MIN_WIDTH.get_max_level(2r) capped at
+        # 29 (operators/knn.py) — floor(log2(deriv/r)) is frexp's exponent
+        # minus one for every non-power-of-two argument (S2.java:206-218)
+        (
+            "s2_radius_level(r DOUBLE) RETURNS INT",
+            f"CASE WHEN r <= 0.0D THEN 29 ELSE "
+            f"LEAST(29, GREATEST(0, CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT))) END",
+        ),
+        # level metrics (S2.java:141-221): POWER(2, n) and the multiply are
+        # exact binary scalings, bit-identical to the kernel's math.ldexp
+        (
+            "s2_min_width(level INT) RETURNS DOUBLE",
+            f"{_MIN_WIDTH_DERIV!r}D * POWER(CAST(2 AS DOUBLE), CAST(1 - level AS DOUBLE))",
+        ),
+        (
+            "s2_avg_area(level INT) RETURNS DOUBLE",
+            f"{_AVG_AREA_DERIV!r}D * POWER(CAST(2 AS DOUBLE), CAST(2 * (1 - level) AS DOUBLE))",
         ),
     ]
 

@@ -95,8 +95,11 @@ def image_stats_pandas(pdf: pd.DataFrame, passthrough: tuple[str, ...] = ()) -> 
             raw = [decode_pixels(byts[i], w, h, fmt) for i in sel]
             if all(r.shape[0] == k for r in raw):
                 P = np.concatenate(raw).reshape(m, k)
-            else:  # codec seam: a real decoder may pad/crop — stack per row
-                P = np.stack([r[:k] for r in raw])
+            else:  # codec seam: a real decoder may pad (short) or crop (long)
+                P = np.zeros((m, k), dtype=np.uint8)
+                for r_i, r in enumerate(raw):
+                    cut = r[:k]
+                    P[r_i, : cut.shape[0]] = cut
             S = row_res[c0 : c0 + chunk, None] + pos_res[None, :]
             S -= (S >= 251) * np.int16(251)
             d = P.astype(np.int16)
