@@ -194,8 +194,10 @@ def main() -> None:
         enc_imgs = encode_images(imgs.select("phash"))
         # the I2 cost-model row hint: at 8M rows x 56 cells this keeps the
         # zero-Python BNLJ (interleaved A/B: 3.4s vs stab's 4.2s); at 128M+
-        # the same call routes to the interval-stab path
-        m = pip_join(enc_imgs, ALL_LAYERS, n_rows=N_IMAGES)
+        # the same call routes to the interval-stab path.  BENCH_PIP_STRATEGY
+        # pins a strategy for scaling A/B experiments.
+        strat = os.environ.get("BENCH_PIP_STRATEGY", "auto")
+        m = pip_join(enc_imgs, ALL_LAYERS, n_rows=N_IMAGES, strategy=strat)
         return tile_manifest(m, tile_level=7).count()
 
     # 5 warmups: the BNLJ codegen loop keeps improving through ~5 executions
