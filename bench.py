@@ -40,12 +40,16 @@ def main() -> None:
     from s2_geometry_library_java_spark.sources.images import synthetic_images
     from s2_geometry_library_java_spark.sources.tables import geotagged_points, geotagged_queries, load_table
 
-    # Size input splits to ~1 task/core for the materialized images dir:
-    # narrow-schema rows compress to a few bytes, so byte-based splitting
-    # otherwise leaves cores idle; and each task pipelines 2 python workers,
-    # so more tasks than cores oversubscribes (A/B measured: 1 task/core
-    # beats 4 tasks/core by ~30% at 32 cores).  A real cluster tunes the
+    # Size input splits for the materialized images dir: narrow-schema rows
+    # compress to a few bytes, so byte-based splitting otherwise leaves
+    # cores idle.  Tasks per core is core-count-dependent (pinned A/B at
+    # 128M rows): at <=8 cores, 2 tasks/core wins (8c: 28.2s vs 36.3s;
+    # 2c: 92.8s vs 108.6s — finer tasks overlap each task's JVM scan with
+    # the neighbor's Python stage), while at 32 cores 1 task/core wins
+    # (16.1s vs 17.6s — the 2-deep python pipelining already fills the
+    # cores and extra tasks just add scheduling).  A real cluster tunes the
     # same knob.
+    tasks_per_core = 2 if cpus <= 8 else 1
     img_dir_pre = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
     split_bytes = 16 * 1024 * 1024
     if os.path.isdir(img_dir_pre):
@@ -55,7 +59,7 @@ def main() -> None:
             if f.endswith(".parquet")
         )
         if total:
-            split_bytes = max(1 << 20, total // cpus)
+            split_bytes = max(1 << 20, total // (tasks_per_core * cpus))
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -120,6 +124,16 @@ def main() -> None:
         if not os.path.exists(os.path.join(stats_dir, "_SUCCESS")):
             synthetic_images(spark, 50000, partitions=cpus).write.mode("overwrite").parquet(stats_dir)
         timed("image_stats_50k", lambda: image_stats(spark.read.parquet(stats_dir)).count())
+
+        # audio modality path: PCM decode + windowed features + SNR verify
+        # over a materialized with-bytes corpus (same posture as images)
+        from s2_geometry_library_java_spark.operators.audio import audio_stats
+        from s2_geometry_library_java_spark.sources.audio import synthetic_audio
+
+        audio_dir = "/tmp/s2bench_audio_50000"
+        if not os.path.exists(os.path.join(audio_dir, "_SUCCESS")):
+            synthetic_audio(spark, 50000, partitions=cpus).write.mode("overwrite").parquet(audio_dir)
+        timed("audio_stats_50k", lambda: audio_stats(spark.read.parquet(audio_dir)).count())
 
     if os.environ.get("BENCH_BINARY_E2E", "") == "1":
         # Binary-corpus e2e: decode + PSNR-verify (the north star's per-row
