@@ -491,6 +491,68 @@ def _golden_audio_stats_sql() -> str:
     )
 
 
+VIDEO_EVERY_N = 4
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality plumbing in the gate (the last stub made real):
+    synthesize 1000 frame-concatenated videos, sample every 4th frame,
+    decode + verify the per-frame PSNR >= 40 dB invariant, roll up per fmt
+    with order-independent aggregates (same convention as image/audio)."""
+    from s2_geometry_library_java_spark.operators.video import video_frame_stats
+    from s2_geometry_library_java_spark.sources.video import synthetic_videos
+
+    stats = video_frame_stats(synthetic_videos(spark, 1000, partitions=8), every_n=VIDEO_EVERY_N)
+    return (
+        stats.groupBy("fmt")
+        .agg(
+            F.countDistinct("video_id").alias("n_videos"),
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("psnr").alias("min_psnr"),
+            F.sum(F.when(F.col("psnr") >= 40.0, 0).otherwise(1)).alias("psnr_violations"),
+            F.max("mean_all").alias("max_mean"),
+            F.min("frame_idx").alias("min_frame_idx"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _golden_video_frames_sql() -> str:
+    """Flat recomputation of q_video_frames' rollup over the 1000
+    deterministic videos through the SAME batch helper as the operator."""
+    from s2_geometry_library_java_spark.operators.video import video_frame_stats_pandas
+    from s2_geometry_library_java_spark.sources.video import videos_pandas
+
+    stats = video_frame_stats_pandas(videos_pandas(0, 1000), every_n=VIDEO_EVERY_N)
+    rows = []
+    for fmt, grp in sorted(stats.groupby("fmt"), key=lambda t: t[0]):
+        ps = grp["psnr"].to_numpy()
+        rows.append(
+            (
+                str(fmt),
+                int(grp["video_id"].nunique()),
+                len(grp),
+                float(ps.min()),
+                int((ps < 40.0).sum()),
+                float(grp["mean_all"].max()),
+                int(grp["frame_idx"].min()),
+                int(grp["frame_idx"].max()),
+            )
+        )
+    return _values_sql(
+        rows,
+        "fmt, n_videos, n_frames_sampled, min_psnr, psnr_violations, max_mean, min_frame_idx, max_frame_idx",
+        casts={
+            "n_videos": "BIGINT",
+            "n_frames_sampled": "BIGINT",
+            "psnr_violations": "BIGINT",
+            "min_frame_idx": "INTEGER",
+            "max_frame_idx": "INTEGER",
+        },
+    )
+
+
 def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covering join -> level-5 tile manifests (C5 denormalize bit math);
     oracled by pinned VALUES where DuckDB evaluates membership + tile bit
@@ -1374,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_cells": q_approx_distinct_cells,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
+        "video_frames": q_video_frames,
         "tile_manifest": q_tile_manifest,
         "knn": q_knn,
         "radius_join": q_radius_join,
@@ -1414,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_manifest": _golden_tile_manifest_sql(),
         "image_stats": _golden_image_stats_sql(),
         "audio_stats": _golden_audio_stats_sql(),
+        "video_frames": _golden_video_frames_sql(),
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
         "pip_join_cap": _pip_oracle(CAP_LAYERS),
         "pip_join_range": _pip_oracle(NATIVE_LAYERS),

@@ -195,11 +195,16 @@ def resize_images(images: DataFrame, target: int = 16) -> DataFrame:
 
 
 def sample_video_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB: no video codec in this container."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/pyav, not present in this container; "
-        "the plumbing would mirror image_stats (mapInPandas over binary + frame index explode)"
+    """Video frame sampling — now a REAL operator: see operators/video.py
+    (deterministic frame-concatenated codec in sources/video.py, every-Nth
+    frame explode + per-frame PSNR verification, gated by the
+    ``video_frames`` golden oracle).  Thin alias keeping the round-2 call
+    site importable."""
+    from s2_geometry_library_java_spark.operators.video import (
+        sample_video_frames as _sample,
     )
+
+    return _sample(videos, every_n)
 
 
 def audio_features(audio: DataFrame, window_ms: int = 25) -> DataFrame:

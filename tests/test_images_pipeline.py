@@ -66,11 +66,6 @@ def test_resize_images(images):
         assert r["w"] == r["h"] == 8 and len(r["bytes"]) == 8 * 8 * 3
 
 
-def test_video_stub_gated(images):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(images)
-
-
 def test_encode_images_matches_phash_anchor(images):
     enc = encode_images(images).select("image_id", "phash", "lat", "lng").limit(100).collect()
     ph = np.array([r["phash"] for r in enc], dtype=np.int64)
