@@ -24,6 +24,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "8000000"))
 
 
+def _kernel_micros(extras: dict) -> None:
+    """Kernel micro-numbers, comparable against BASELINE.md's reference
+    single-thread measurements (S2Projections.java:54-61: quadratic
+    FromPoint 0.161us, ToPoint 0.116us scalar C++).  Runs BEFORE any Spark
+    work so the single-thread numbers are insulated from in-process JVM
+    background threads and the run order is deterministic; box-level noisy
+    neighbors remain (quiet-window decode measures 0.102us, noisy windows
+    up to 0.15us on identical code) — best-of-5 mitigates within a window
+    but cross-window comparisons need the campaign discipline of
+    BENCH/BASELINE.md."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+
+    rng_lat = np.random.default_rng(1).uniform(-89, 89, 2_000_000)
+    rng_lng = np.random.default_rng(2).uniform(-179, 179, 2_000_000)
+
+    def best_of(fn, reps: int = 5) -> float:
+        # standard micro practice: one warmup (page faults, allocator),
+        # then best-of-reps — the un-warmed single-shot number in r01
+        # overstated the kernel by ~2x on this noisy VM.
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    ids = ck.from_latlng_degrees(rng_lat, rng_lng)
+    xyz = ck.latlng_degrees_to_xyz(rng_lat, rng_lng)
+    # Same op as the reference's measured FromPoint (point->cellid,
+    # S2Projections.java:54-61: 0.161us quadratic) — xyz in, id out.
+    extras["kernel_encode_us_per_op_1thread"] = round(
+        best_of(lambda: ck.from_xyz(xyz)) / 2.0, 4
+    )
+    # Harder than the reference row (adds 4 trig calls the reference's
+    # FromPoint doesn't do): full lat/lng -> cellid.
+    extras["kernel_encode_latlng_us_per_op_1thread"] = round(
+        best_of(lambda: ck.from_latlng_degrees(rng_lat, rng_lng)) / 2.0, 4
+    )
+    extras["kernel_decode_us_per_op_1thread"] = round(
+        best_of(lambda: ck.to_point(ids)) / 2.0, 4
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +106,12 @@ def main() -> None:
         )
         if total:
             split_bytes = max(1 << 20, total // (tasks_per_core * cpus))
+    extras_pre: dict = {}
+    if (
+        os.environ.get("BENCH_ONLY_E2E", "") != "1"
+        and os.environ.get("BENCH_BINARY_E2E", "") != "1"
+    ):
+        _kernel_micros(extras_pre)
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -68,7 +120,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, float] = dict(extras_pre)
     e2e_only = os.environ.get("BENCH_ONLY_E2E", "") == "1"
 
     def timed(name: str, fn, reps: int = 3):
@@ -134,6 +186,20 @@ def main() -> None:
         if not os.path.exists(os.path.join(audio_dir, "_SUCCESS")):
             synthetic_audio(spark, 50000, partitions=cpus).write.mode("overwrite").parquet(audio_dir)
         timed("audio_stats_50k", lambda: audio_stats(spark.read.parquet(audio_dir)).count())
+
+        # video modality path: frame-major decode + every-4th-frame sampling
+        # + per-frame PSNR verify (rows are ~67 KB of frames each, so 10k
+        # rows carries the same order of bytes as the 50k image corpus)
+        from s2_geometry_library_java_spark.operators.video import video_frame_stats
+        from s2_geometry_library_java_spark.sources.video import synthetic_videos
+
+        video_dir = "/tmp/s2bench_video_10000"
+        if not os.path.exists(os.path.join(video_dir, "_SUCCESS")):
+            synthetic_videos(spark, 10000, partitions=cpus).write.mode("overwrite").parquet(video_dir)
+        timed(
+            "video_frames_10k",
+            lambda: video_frame_stats(spark.read.parquet(video_dir), every_n=4).count(),
+        )
 
     if os.environ.get("BENCH_BINARY_E2E", "") == "1":
         # Binary-corpus e2e: decode + PSNR-verify (the north star's per-row
@@ -231,45 +297,6 @@ def main() -> None:
     extras["n_points"] = n_points
     extras["n_matches"] = n_matches
     extras["manifest_rows"] = man_rows
-
-    # Kernel micro-numbers, comparable against BASELINE.md's reference
-    # single-thread measurements (S2Projections.java:54-61: quadratic
-    # FromPoint 0.161us, ToPoint 0.116us scalar C++).
-    if not e2e_only:
-        import numpy as np
-
-        from s2_geometry_library_java_spark.kernel import cellid as ck
-
-        rng_lat = np.random.default_rng(1).uniform(-89, 89, 2_000_000)
-        rng_lng = np.random.default_rng(2).uniform(-179, 179, 2_000_000)
-
-        def best_of(fn, reps: int = 3) -> float:
-            # standard micro practice: one warmup (page faults, allocator),
-            # then best-of-reps — the un-warmed single-shot number in r01
-            # overstated the kernel by ~2x on this noisy VM.
-            fn()
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.time()
-                fn()
-                best = min(best, time.time() - t0)
-            return best
-
-        ids = ck.from_latlng_degrees(rng_lat, rng_lng)
-        xyz = ck.latlng_degrees_to_xyz(rng_lat, rng_lng)
-        # Same op as the reference's measured FromPoint (point->cellid,
-        # S2Projections.java:54-61: 0.161us quadratic) — xyz in, id out.
-        extras["kernel_encode_us_per_op_1thread"] = round(
-            best_of(lambda: ck.from_xyz(xyz)) / 2.0, 4
-        )
-        # Harder than the reference row (adds 4 trig calls the reference's
-        # FromPoint doesn't do): full lat/lng -> cellid.
-        extras["kernel_encode_latlng_us_per_op_1thread"] = round(
-            best_of(lambda: ck.from_latlng_degrees(rng_lat, rng_lng)) / 2.0, 4
-        )
-        extras["kernel_decode_us_per_op_1thread"] = round(
-            best_of(lambda: ck.to_point(ids)) / 2.0, 4
-        )
 
     result = {
         "metric": "images_sec_e2e_encode_join_tile",

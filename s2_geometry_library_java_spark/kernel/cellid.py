@@ -278,9 +278,13 @@ def to_face_ij_orientation(
     j = np.zeros(ids.shape, dtype=np.int64)
     # 4 rounds over the composed 8-bit tables (bit-identical to the 8x4-bit
     # reference loop); the top round carries only 30-3*8=6 i/j bits.
+    # Extraction shifts run on an int64 VIEW of the ids: the arithmetic
+    # shift's sign-extended high bits (faces 4-5) die under the per-round
+    # mask, and skipping the four uint64->int64 casts is a measured win.
+    ids_i64 = ids.view(np.int64)
     for k in range(3, -1, -1):
         nbits = (MAX_LEVEL - 3 * 8) if k == 3 else 8
-        extract = ((ids >> np.uint64(k * 16 + 1)) & np.uint64((1 << (2 * nbits)) - 1)).astype(np.int64)
+        extract = (ids_i64 >> (k * 16 + 1)) & ((1 << (2 * nbits)) - 1)
         bits = bits + (extract << 2)
         bits = LOOKUP_IJ8[bits]
         i = i + ((bits >> 10) << (k * 8))
@@ -305,18 +309,26 @@ def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray
     return FACE_NORMS[face] + u * FACE_U_AXES[face] + v * FACE_V_AXES[face]
 
 
-def _face_uv_to_xyz_cols(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+def _xyz_component_cols(
+    face: np.ndarray, u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """faceUvToXyz as where-chains on columns — the same per-face component
     table as FACE_NORMS/U_AXES/V_AXES (S2Projections.java:271-286) without
     the three (n,3) gathers; products with 0/±1 are exact, so results are
-    bit-identical to face_uv_to_xyz."""
+    bit-identical to face_uv_to_xyz.  Every component is a permutation of
+    {±1, ±u, ±v} — callers exploit that for the exact norm."""
     f = np.asarray(face, dtype=np.int64)
     one = np.ones_like(u)
     nu, nv = -u, -v
     x = np.where(f == 0, one, np.where(f <= 2, nu, np.where(f == 3, -one, v)))
     y = np.where((f == 0) | (f == 5), u, np.where(f == 1, one, np.where(f == 4, -one, nv)))
     z = np.where(f <= 1, v, np.where(f == 2, one, np.where(f == 5, -one, nu)))
-    out = np.empty(f.shape + (3,), dtype=np.float64)
+    return x, y, z
+
+
+def _face_uv_to_xyz_cols(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    x, y, z = _xyz_component_cols(face, u, v)
+    out = np.empty(x.shape + (3,), dtype=np.float64)
     out[..., 0] = x
     out[..., 1] = y
     out[..., 2] = z
@@ -332,7 +344,8 @@ def _face_uv_to_xyz_cols(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.n
 _CHUNK = 24576
 
 
-def _to_point_raw_block(ids: np.ndarray) -> np.ndarray:
+def _decode_center_uv(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cell id -> (face, u, v) of the cell center (S2CellId.java:170-199)."""
     face, i, j, _ = to_face_ij_orientation(ids)
     leaf = (ids & _U1) != _U0
     if leaf.all():
@@ -346,8 +359,11 @@ def _to_point_raw_block(ids: np.ndarray) -> np.ndarray:
     si = (i << 1) + delta - MAX_SIZE
     ti = (j << 1) + delta - MAX_SIZE
     k_scale = 1.0 / MAX_SIZE
-    u = st_to_uv(k_scale * si)
-    v = st_to_uv(k_scale * ti)
+    return face, st_to_uv(k_scale * si), st_to_uv(k_scale * ti)
+
+
+def _to_point_raw_block(ids: np.ndarray) -> np.ndarray:
+    face, u, v = _decode_center_uv(ids)
     return _face_uv_to_xyz_cols(face, u, v)
 
 
@@ -363,12 +379,23 @@ def to_point_raw(ids: np.ndarray) -> np.ndarray:
 
 
 def _to_point_block(ids: np.ndarray) -> np.ndarray:
-    raw = _to_point_raw_block(ids)
-    # norm >= 1 always (one raw component is exactly +-1), so the old
-    # norm != 0 guard was dead; keep the reciprocal-multiply order for
-    # bit-stable outputs.
-    norm = np.sqrt(np.sum(raw * raw, axis=-1, keepdims=True))
-    return raw * (1.0 / norm)
+    face, u, v = _decode_center_uv(ids)
+    x, y, z = _xyz_component_cols(face, u, v)
+    # The raw components are a permutation of {±1, ±u, ±v}, so
+    # norm² = 1 + u² + v² EXACTLY — no (n,3) square-sum pass (norm >= 1
+    # always, so no zero guard).  The fixed (u²+v²)+1 summation order can
+    # differ from the old per-row x²+y²+z² order by <= 1 ulp on faces
+    # where ±1 is not the last component; reciprocal-multiply kept.
+    n = u * u
+    n += v * v
+    n += 1.0
+    np.sqrt(n, out=n)
+    np.divide(1.0, n, out=n)
+    out = np.empty(x.shape + (3,), dtype=np.float64)
+    np.multiply(x, n, out=out[..., 0])
+    np.multiply(y, n, out=out[..., 1])
+    np.multiply(z, n, out=out[..., 2])
+    return out
 
 
 def to_point(ids: np.ndarray) -> np.ndarray:

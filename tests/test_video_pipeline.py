@@ -82,6 +82,36 @@ def test_sample_video_frames_bytes_match_truth(videos):
         assert r["fmt"] == "raw" and r["w"] == m["w"] and r["h"] == m["h"]
 
 
+def test_sampled_frames_compose_with_image_resize(videos):
+    """The modality seam: sample_video_frames output IS image-table-shaped
+    (bytes, w, h, fmt='raw'), so the image operators run on it unchanged —
+    here nearest-neighbor resize, checked against a scalar recompute."""
+    from s2_geometry_library_java_spark.operators.images import resize_images
+
+    frames = sample_video_frames(videos.limit(8), every_n=EVERY_N)
+    imgs = frames.select(
+        F.concat_ws("#", "video_id", F.col("frame_idx").cast("string")).alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption",
+    )
+    out = resize_images(imgs, target=8).collect()
+    meta = {r["video_id"]: r for r in videos.limit(8).collect()}
+    n_expected = sum(len(range(0, m["n_frames"], EVERY_N)) for m in meta.values())
+    assert len(out) == n_expected
+    for r in out:
+        vid, fidx = r["image_id"].split("#")
+        m = meta[vid]
+        truth = source_frames(int(vid[3:]), m["w"], m["h"], m["n_frames"])[int(fidx)]
+        if m["fmt"] == "vqnt":
+            truth = (truth // QUANT_STEP) * QUANT_STEP
+        P = truth.reshape(m["h"], m["w"], 3)
+        yi = np.arange(8) * m["h"] // 8
+        xi = np.arange(8) * m["w"] // 8
+        expect = P[yi][:, xi]
+        got = np.frombuffer(bytes(r["bytes"]), dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(got, expect)
+        assert r["w"] == r["h"] == 8 and r["fmt"] == "raw"
+
+
 def test_video_operator_matches_golden_helper(videos):
     got = (
         video_frame_stats(videos, every_n=EVERY_N)
