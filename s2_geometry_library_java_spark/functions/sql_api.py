@@ -114,12 +114,23 @@ def _sql_scalar_defs() -> list[tuple[str, str]]:
             "-180.0D + 360.0D * (CAST(phash & 4294967295 AS DOUBLE) / 4294967296.0D)",
         ),
         # the radius-join bucket level: MIN_WIDTH.get_max_level(2r) capped at
-        # 29 (operators/knn.py) — floor(log2(deriv/r)) is frexp's exponent
-        # minus one for every non-power-of-two argument (S2.java:206-218)
+        # 29 (operators/knn.py).  The kernel takes frexp(q)'s exponent of
+        # the rounded quotient q = deriv/r (S2.java:206-218); libm LOG2 can
+        # be off by one when q sits within an ulp of a power of two, which
+        # would bucket one level too fine and silently drop in-radius join
+        # rows — so the FLOOR(LOG2) guess is corrected by exact comparisons
+        # of q against POWER(2, guess[+1]) (IEEE division and power-of-two
+        # compares are bit-deterministic across Spark/DuckDB/NumPy).
         (
             "s2_radius_level(r DOUBLE) RETURNS INT",
             f"CASE WHEN r <= 0.0D THEN 29 ELSE "
-            f"LEAST(29, GREATEST(0, CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT))) END",
+            f"LEAST(29, GREATEST(0, "
+            f"CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT) "
+            f"+ (CASE WHEN {_MIN_WIDTH_DERIV!r}D / r >= POWER(2.0D, "
+            f"CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT) + 1) THEN 1 "
+            f"WHEN {_MIN_WIDTH_DERIV!r}D / r < POWER(2.0D, "
+            f"CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT)) THEN -1 "
+            f"ELSE 0 END))) END",
         ),
         # level metrics (S2.java:141-221): POWER(2, n) and the multiply are
         # exact binary scalings, bit-identical to the kernel's math.ldexp

@@ -37,11 +37,6 @@ from s2_geometry_library_java_spark.sources.audio import (
 
 WINDOW = 512
 
-STATS_COLUMNS = [
-    "audio_id", "sample_rate", "channels", "n_samples", "fmt", "caption",
-    "n_windows", "rms", "zcr", "max_win_rms", "mean_win_rms", "flux", "snr",
-]
-
 
 def _truth_residues(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Ground truth via modular decomposition (the images operator's trick):
@@ -53,10 +48,13 @@ def _truth_residues(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     return row, pos
 
 
-def audio_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+def audio_stats_pandas(pdf: pd.DataFrame, window_ms: int | None = None) -> pd.DataFrame:
     """Per-file decode + windowed features for one pandas batch (shared by
     the Spark operator and the driver-side golden oracle, so arithmetic is
-    identical by construction)."""
+    identical by construction).  ``window_ms=None`` windows by the fixed
+    WINDOW sample count; a millisecond value windows by
+    sample_rate*window_ms/1000 samples (grouping then also keys on
+    sample_rate), clamped to [1, n_samples] so at least one window exists."""
     m = len(pdf)
     n_windows = np.empty(m, dtype=np.int32)
     rms = np.empty(m)
@@ -68,19 +66,31 @@ def audio_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reset_index(drop=True)
     row_ids = pdf["audio_id"].str.slice(3).astype(np.int64).to_numpy()
     byts = pdf["bytes"].to_numpy()
-    for (n, fmt), grp in pdf.groupby(["n_samples", "fmt"], sort=False):
-        n, fmt = int(n), str(fmt)
+    group_keys = ["n_samples", "fmt"] + (["sample_rate"] if window_ms is not None else [])
+    for key, grp in pdf.groupby(group_keys, sort=False):
+        n, fmt = int(key[0]), str(key[1])
+        if window_ms is None:
+            win = WINDOW
+        else:
+            win = min(max(1, int(key[2]) * window_ms // 1000), n)
         idx = grp.index.to_numpy()
-        S = np.stack([decode_samples(byts[i], n, fmt) for i in idx]).astype(np.int32)
+        raw = [decode_samples(byts[i], n, fmt) for i in idx]
+        if all(s.shape[0] == n for s in raw):
+            S = np.stack(raw).astype(np.int32)
+        else:  # codec seam: a real decoder may pad (short) or crop (long)
+            S = np.zeros((len(idx), n), dtype=np.int32)
+            for r_i, s in enumerate(raw):
+                cut = s[:n]
+                S[r_i, : cut.shape[0]] = cut
         sq = S * S  # <= 32760^2, exact in int32
         sumsq = sq.sum(axis=1, dtype=np.int64)
         rms[idx] = np.sqrt(sumsq / float(n))
         zc = ((S[:, :-1] * S[:, 1:]) < 0).sum(axis=1, dtype=np.int64)
         zcr[idx] = zc / float(n - 1)
-        nw = n // WINDOW
+        nw = n // win
         n_windows[idx] = nw
-        wsq = sq[:, : nw * WINDOW].reshape(len(idx), nw, WINDOW).sum(axis=2, dtype=np.int64)
-        wrms = np.sqrt(wsq / float(WINDOW))
+        wsq = sq[:, : nw * win].reshape(len(idx), nw, win).sum(axis=2, dtype=np.int64)
+        wrms = np.sqrt(wsq / float(win))
         max_win_rms[idx] = wrms.max(axis=1)
         mean_win_rms[idx] = wrms.mean(axis=1)
         d = np.abs(np.diff(S, axis=1)).sum(axis=1, dtype=np.int64)
@@ -108,10 +118,12 @@ def audio_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def audio_stats(audio: DataFrame) -> DataFrame:
+def audio_stats(audio: DataFrame, window_ms: int | None = None) -> DataFrame:
     """Decode + per-file windowed feature extraction (RMS, zero-crossing
     rate, per-window RMS extremes, spectral-flux proxy) and SNR vs the
     recomputable ground truth.  Exact for lossless rows (snr -> 999.0).
+    ``window_ms=None`` uses the fixed WINDOW-sample window; a millisecond
+    value windows each row by its own sample_rate (see audio_stats_pandas).
 
     Same scale posture as image_stats: NO repartition (decode parallelism
     comes from scan splits; shuffling raw bytes costs more than it buys)
@@ -126,6 +138,6 @@ def audio_stats(audio: DataFrame) -> DataFrame:
     def it(batches):
         for pdf in batches:
             if len(pdf):
-                yield audio_stats_pandas(pdf.reset_index(drop=True))
+                yield audio_stats_pandas(pdf.reset_index(drop=True), window_ms)
 
     return audio.mapInPandas(it, schema)

@@ -215,4 +215,4 @@ def audio_features(audio: DataFrame, window_ms: int = 25) -> DataFrame:
     site importable."""
     from s2_geometry_library_java_spark.operators.audio import audio_stats
 
-    return audio_stats(audio)
+    return audio_stats(audio, window_ms=window_ms)

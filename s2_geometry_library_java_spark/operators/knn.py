@@ -141,6 +141,12 @@ def knn_join(
     of triggering a 10^12-row scan.  "always"/"never" override.
     Plan-asserted in tests/test_knn_tiling.py.
     """
+    if brute_fallback not in ("auto", "always", "never"):
+        # an unrecognized value must not silently behave as "never" — that
+        # would drop the exactness net without the caller noticing
+        raise ValueError(
+            f"brute_fallback must be 'auto', 'always', or 'never', got {brute_fallback!r}"
+        )
     qdf = _as_query_df(points, queries)
     # No cache: the only eager action here is the (column-pruned) count; the
     # candidate and fallback branches are consumed by the caller's single

@@ -10,6 +10,8 @@ uses the phash-derived anchor instead (sources/images.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,9 +21,18 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# The table-format seam (SURVEY §2.7 scan/source row): the engine's target
+# input is an Iceberg table; this sandbox has no Iceberg runtime jars, so
+# parquet stands in.  Every read goes through load_table, so a deployment
+# swaps the format here (e.g. SPARK_GRAFT_TABLE_FORMAT=iceberg with paths
+# as catalog identifiers) without touching any operator or query.
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if TABLE_FORMAT == "parquet":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.format(TABLE_FORMAT).load(f"{sf_dir}/{name}")
 
 
 def geotagged_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,7 +80,15 @@ def decode_frames(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.nd
             "swap this branch for ffmpeg/pyav in deployment"
         )
     k = w * h * 3
-    return np.frombuffer(data, dtype=np.uint8)[: n_frames * k].reshape(n_frames, k)
+    flat = np.frombuffer(data, dtype=np.uint8)[: n_frames * k]
+    if flat.shape[0] != n_frames * k:
+        # codec seam: a real decoder may deliver short data (truncated
+        # stream, dropped trailing frames) — pad with zeros rather than
+        # raise from reshape, matching the image/audio seam handling
+        padded = np.zeros(n_frames * k, dtype=np.uint8)
+        padded[: flat.shape[0]] = flat
+        flat = padded
+    return flat.reshape(n_frames, k)
 
 
 def caption_for(i: np.ndarray) -> pd.Series:

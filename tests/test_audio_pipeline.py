@@ -97,3 +97,41 @@ def test_audio_operator_matches_golden_helper(audio):
 def test_unknown_audio_codec_gated():
     with pytest.raises(NotImplementedError):
         decode_samples(b"\x00\x00", 1, "mp3")
+
+
+def test_audio_features_honor_window_ms(spark, audio):
+    """The round-2 alias contract: window_ms windows by each row's own
+    sample rate (25 ms at 8 kHz = 200 samples, at 16 kHz = 400), not the
+    fixed 512-sample WINDOW."""
+    from s2_geometry_library_java_spark.operators.images import audio_features
+
+    sub = audio.limit(30)
+    rows = audio_features(sub, window_ms=25).collect()
+    assert rows
+    meta = {r["audio_id"]: r for r in sub.collect()}
+    for r in rows:
+        win = min(max(1, r["sample_rate"] * 25 // 1000), r["n_samples"])
+        assert win != WINDOW  # the fixture rates make ms-windows distinct
+        assert r["n_windows"] == r["n_samples"] // win
+    # spot-check a lossless row's per-window RMS against a scalar recompute
+    r = next(x for x in rows if x["fmt"] == "pcm16")
+    m = meta[r["audio_id"]]
+    s = decode_samples(bytes(m["bytes"]), m["n_samples"], m["fmt"]).astype(np.int64)
+    win = min(max(1, m["sample_rate"] * 25 // 1000), m["n_samples"])
+    nw = m["n_samples"] // win
+    wr = np.sqrt((s[: nw * win].reshape(nw, win) ** 2).sum(axis=1) / float(win))
+    assert r["max_win_rms"] == pytest.approx(wr.max(), rel=0, abs=0)
+    assert r["mean_win_rms"] == pytest.approx(wr.mean())
+
+
+def test_short_decode_codec_seam():
+    """A decoder returning fewer samples than n_samples (truncated stream)
+    pads instead of crashing the whole Arrow batch — the same seam contract
+    as images.py."""
+    pdf = audio_pandas(0, 4)
+    pdf.loc[1, "bytes"] = pdf.loc[1, "bytes"][:100]  # 50 of n_samples samples
+    out = audio_stats_pandas(pdf)
+    assert len(out) == 4
+    assert np.isfinite(out["rms"].to_numpy()).all()
+    # the truncated lossy row's error now includes the zero-padding tail
+    assert out.loc[1, "snr"] < out.loc[3, "snr"]

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from s2_geometry_library_java_spark.operators.images import image_stats, resize_images, sample_video_frames
+from s2_geometry_library_java_spark.operators.images import image_stats, resize_images
 from s2_geometry_library_java_spark.operators.layers import cap_layer, rect_layer
 from s2_geometry_library_java_spark.plans.pipeline import encode_images, run_pipeline
 from s2_geometry_library_java_spark.sources.images import (

@@ -178,3 +178,10 @@ def test_ledger_idempotent_rerun(tmp_path, points):
     run_tiled_write(matches, out, buckets=2)
     stats = run_tiled_write(matches, out, buckets=2)
     assert stats["written"] == [] and sorted(stats["skipped"]) == [0, 1]
+
+
+def test_knn_brute_fallback_validated(spark, points):
+    """A typo'd brute_fallback must raise, not silently behave as 'never'
+    (which would drop the exactness net)."""
+    with pytest.raises(ValueError, match="brute_fallback"):
+        knn_join(points, [("q0", 10.0, 10.0)], k=3, brute_fallback="Auto")

@@ -122,3 +122,30 @@ def test_package_level_reexport(sql_spark):
 def test_register_is_idempotent(sql_spark):
     register_sql_functions(sql_spark)
     assert sql_spark.sql("SELECT s2_level(s2_parent(s2_cell_from_latlng(1.0D, 1.0D), 9))").collect()[0][0] == 9
+
+
+def test_radius_level_matches_kernel_at_boundaries(sql_spark):
+    """s2_radius_level must equal MIN_WIDTH.get_max_level(2r) capped at 29
+    EVERYWHERE, including radii where deriv/r sits within an ulp of a power
+    of two (libm LOG2 can round across the integer boundary there; the SQL
+    body corrects the guess with exact power-of-two compares)."""
+    from s2_geometry_library_java_spark.kernel import metrics
+
+    deriv = metrics.MIN_WIDTH.deriv
+    rng = np.random.default_rng(7)
+    radii = list(rng.uniform(1e-9, 0.5, 200))
+    # exact and ulp-adjacent power-of-two quotients for every level
+    for n in range(0, 30):
+        base = deriv / (2.0**n)
+        radii += [base, np.nextafter(base, 0.0), np.nextafter(base, 1.0)]
+    df = sql_spark.createDataFrame([(float(r),) for r in radii], "r double")
+    df.createOrReplaceTempView("radius_probe")
+    got = {
+        r["r"]: r["lvl"]
+        for r in sql_spark.sql(
+            "SELECT r, s2_radius_level(r) lvl FROM radius_probe"
+        ).collect()
+    }
+    for r in radii:
+        want = min(metrics.MIN_WIDTH.get_max_level(2.0 * float(r)), 29)
+        assert got[float(r)] == want, (r, got[float(r)], want)

@@ -133,3 +133,11 @@ def test_video_operator_matches_golden_helper(videos):
 def test_unknown_video_codec_gated():
     with pytest.raises(NotImplementedError):
         decode_frames(b"\x00", 1, 1, 1, "h264")
+
+
+def test_short_video_decode_pads():
+    """Truncated frame data pads with zeros (the codec seam) instead of
+    raising from reshape."""
+    f = decode_frames(b"\x01\x02", 2, 2, 3, "vraw")
+    assert f.shape == (3, 12)
+    assert f[0, 0] == 1 and f[0, 1] == 2 and int(f.sum()) == 3
