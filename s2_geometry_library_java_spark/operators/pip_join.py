@@ -190,7 +190,17 @@ def refine_candidates(
     Single-pass: one boolean predicate combining the native rect/cap tests
     (codegen'd CASE chain) with one vectorized parity-kernel pandas UDF for
     loop/polygon layers — the source is scanned exactly once regardless of
-    the layer mix (no union of per-kind branches)."""
+    the layer mix (no union of per-kind branches).
+
+    Measured dead end (round 3, do not re-try without new evidence): fusing
+    a per-POINT kernel-membership bitmask into the pre-join encode
+    projection (eliminating this hop entirely; candidates then refine in
+    pure codegen) LOST an interleaved A/B at the 8M-row bench — min 4.32 s
+    vs 3.71 s, median 5.09 vs 4.02.  The bitmask UDF widens the hot encode
+    hop's Arrow input from 8 B (phash) to 24 B (+lat,lng) on every fact
+    row, while this hop only carries the candidate subset (~0.6x rows
+    here); per-candidate refine wins whenever match-rate x refine-cols <
+    encode-widening x fact-rows."""
     native = [l for l in layers if l.native_predicate(F.col(lat_col), F.col(lng_col)) is not None]
     native_ids = {l.polygon_id for l in native}
     kernel_layers = [l for l in layers if l.polygon_id not in native_ids]
