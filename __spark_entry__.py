@@ -1037,6 +1037,59 @@ def _text_profile_sql() -> str:
     return "SELECT " + ", ".join(cols) + " FROM documents"
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.25
+SHARD_BUDGET_TOKENS = 2000
+SHARD_BUCKETS = 16
+
+
+def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset splits + an independent salted sample flag —
+    stateless per-row hash arithmetic (no rand(), no shuffle), the
+    lineage-stable train/val/test separation a 10^12-row corpus needs.
+    Returned per-row so the oracle pins every assignment exactly."""
+    from s2_geometry_library_java_spark.operators import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prep.assign_splits(docs, SPLIT_WEIGHTS, "doc_id")
+    return out.select(
+        "doc_id",
+        "split",
+        F.expr(prep.sample_filter_sql(SAMPLE_FRACTION, "doc_id", salt=7)).alias("in_sample"),
+    )
+
+
+def _sample_splits_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+
+    return (
+        f"SELECT doc_id, {prep.split_case_sql(SPLIT_WEIGHTS, 'doc_id')} AS split, "
+        f"{prep.sample_filter_sql(SAMPLE_FRACTION, 'doc_id', salt=7)} AS in_sample "
+        f"FROM documents"
+    )
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment via the two-stage cumsum (per-bucket
+    windows + broadcast exclusive offsets — no global sort); the oracle
+    recomputes it as the single global window the operator avoids."""
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.shard_by_token_budget(
+        load_table(spark, sf_dir, "documents"),
+        SHARD_BUDGET_TOKENS,
+        n_buckets=SHARD_BUCKETS,
+    )
+
+
+def _token_shards_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.shard_oracle_sql(
+        "documents", SHARD_BUDGET_TOKENS, n_buckets=SHARD_BUCKETS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -1455,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "text_profile": q_text_profile,
+        "sample_splits": q_sample_splits,
+        "token_shards": q_token_shards,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1515,6 +1570,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _ngram_jaccard_sql(NGJ_CAP_DF),
         "text_profile": _text_profile_sql(),
+        "sample_splits": _sample_splits_sql(),
+        "token_shards": _token_shards_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
         "ann_lsh_recall": _values_sql(

@@ -1,0 +1,175 @@
+"""Training-data preparation operators: deterministic sampling / dataset
+splits and token-budget sharding over ``documents``.
+
+These are the last-mile ops of a 100 TB training pipeline (after dedup /
+quality filtering, before the trainer reads shards), designed Spark-first:
+
+- **Sampling / splits** are stateless per-row hash arithmetic — pure native
+  integer expressions (no ``rand()`` nondeterminism, no shuffle, no state).
+  The same row lands in the same split on any cluster, any partitioning,
+  any re-run: lineage-stable splits are what make a 10^12-row train/val
+  separation auditable.  The hash is plain BIGINT multiply-mod (the Knuth
+  constant already used by the geotag fixture, FIXTURES.md F7), identical
+  in Spark and DuckDB, so the driver oracle states ground truth with the
+  same arithmetic.
+- **Token-budget sharding** assigns each document to a training shard such
+  that shards hold ~``budget`` whitespace tokens each, in a deterministic
+  global order.  The scale shape is the two-stage cumulative sum: stage 1
+  aggregates per-bucket token totals (one narrow groupBy over n_buckets
+  keys), the driver turns that bounded table into exclusive bucket offsets,
+  stage 2 adds a per-bucket window cumsum to the broadcast offset.  The
+  only global coordination is the n_buckets-row collect; the windows
+  parallelize per bucket — exactly how ~n_buckets shard streams are
+  written on a real cluster.  A single global orderBy window (the naive
+  formulation) would serialize 10^12 rows through one partition.
+
+KEY DOMAIN: |key| must stay below ~3.47e9 (2^63 / 2654435761) so the
+multiply cannot overflow BIGINT; generated fixture ids satisfy this, and
+wider keys should be pre-masked (same contract as s2_geotag_lat/lng,
+functions/sql_api.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MIX_ADD = 1013904223
+HASH_MOD = 4_294_967_296  # 2^32
+
+
+def _hash_expr(key_col: str, salt: int) -> str:
+    """Portable [0, 2^32) hash: identical text evaluates in Spark SQL and
+    DuckDB (nonnegative dividend, so % agrees between the engines).  The
+    salt product is folded into a literal — DuckDB would otherwise
+    evaluate ``salt * MIX_ADD`` in INT32 and overflow."""
+    return f"(({key_col} * {KNUTH} + {salt * MIX_ADD}) % {HASH_MOD})"
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """[(label, exclusive upper hash bound), ...] with integer bounds so
+    both engines compare exactly; the last bound is forced to 2^32."""
+    total = sum(weights.values())
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for label, w in weights.items():
+        acc += w / total
+        bounds.append((label, int(acc * HASH_MOD)))
+    last_label, _ = bounds[-1]
+    bounds[-1] = (last_label, HASH_MOD)
+    return bounds
+
+
+def split_case_sql(weights: dict[str, float], key_col: str = "doc_id", salt: int = 0) -> str:
+    """CASE expression assigning the split label — same text for both
+    dialects (pure integer arithmetic + comparisons)."""
+    h = _hash_expr(key_col, salt)
+    parts = []
+    bounds = split_thresholds(weights)
+    for label, hi in bounds[:-1]:
+        parts.append(f"WHEN {h} < {hi} THEN '{label}'")
+    return f"(CASE {' '.join(parts)} ELSE '{bounds[-1][0]}' END)"
+
+
+def assign_splits(
+    df: DataFrame, weights: dict[str, float], key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Add a deterministic ``split`` label column (train/val/test/...).
+
+    One native projection — no shuffle, no rand(), re-run-stable."""
+    return df.withColumn("split", F.expr(split_case_sql(weights, key_col, salt)))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash.
+
+    Unlike ``DataFrame.sample`` this is reproducible across runs, clusters
+    and partitionings, and different ``salt`` values draw independent
+    samples from the same corpus."""
+    threshold = int(fraction * HASH_MOD)
+    return df.filter(F.expr(f"{_hash_expr(key_col, salt)} < {threshold}"))
+
+
+def sample_filter_sql(fraction: float, key_col: str = "doc_id", salt: int = 0) -> str:
+    return f"({_hash_expr(key_col, salt)} < {int(fraction * HASH_MOD)})"
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sharding
+# ---------------------------------------------------------------------------
+def bucket_expr_sql(key_col: str = "doc_id", n_buckets: int = 64) -> str:
+    return f"({_hash_expr(key_col, 1)} % {n_buckets})"
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(key, bucket, n_tokens, shard): deterministic shard assignment where
+    shard s spans global token offsets [s*budget, (s+1)*budget) in the
+    (bucket, key) order; a document belongs to the shard its FIRST token
+    falls in (documents are not split).
+
+    Two-stage cumsum (see module docstring): per-bucket totals -> bounded
+    driver collect -> exclusive offsets -> per-bucket window + offset.  The
+    result equals the single global window ``SUM() OVER (ORDER BY bucket,
+    key ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` the DuckDB oracle runs,
+    without ever materializing a one-partition global sort."""
+    base = docs.select(
+        F.col(key_col),
+        F.expr(bucket_expr_sql(key_col, n_buckets)).cast("int").alias("bucket"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    )
+    totals = {
+        r["bucket"]: r["total"]
+        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += int(totals[b])
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "bucket int, _offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "shard",
+            F.floor(
+                (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset"))
+                / F.lit(int(budget_tokens))
+            ).cast("long"),
+        )
+        .drop("_offset")
+        .select(key_col, "bucket", "n_tokens", "shard")
+    )
+
+
+def shard_oracle_sql(
+    table: str,
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB twin: one global window in (bucket, key) order — fine at
+    oracle scale, the very plan the distributed operator avoids."""
+    bucket = bucket_expr_sql(key_col, n_buckets)
+    toks = f"len(string_split({text_col}, ' '))"
+    return (
+        f"SELECT {key_col}, CAST({bucket} AS INTEGER) AS bucket, "
+        f"CAST({toks} AS BIGINT) AS n_tokens, "
+        f"CAST(FLOOR(COALESCE(SUM({toks}) OVER (ORDER BY {bucket}, {key_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget_tokens}) AS BIGINT) AS shard "
+        f"FROM {table}"
+    )
