@@ -1090,6 +1090,55 @@ def _token_shards_sql() -> str:
     )
 
 
+PREP_QUALITY_MIN = 0.55
+PREP_FP_LEN = 32
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in one gate: quality filter
+    (native scoring) -> exact near-dup collapse on a prefix fingerprint
+    (keeper = min doc_id) -> deterministic split assignment -> per-split
+    rollup.  Every stage is a §2.8 operator; the oracle restates the whole
+    chain in SQL, so the gate proves the COMPOSITION, not just the parts."""
+    from s2_geometry_library_java_spark.operators import prep
+    from s2_geometry_library_java_spark.operators.text import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.expr(f"{quality_exprs('spark')['quality_score']} >= {PREP_QUALITY_MIN}"))
+    keepers = (
+        kept.groupBy(F.md5(F.expr(f"substring(text, 1, {PREP_FP_LEN})")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        prep.assign_splits(keepers, SPLIT_WEIGHTS, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dups").alias("n_source_rows"),
+            F.sum("doc_id").alias("sum_keeper_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def _corpus_prep_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+    from s2_geometry_library_java_spark.operators.text import quality_exprs
+
+    qs = quality_exprs("duck")["quality_score"]
+    split_case = prep.split_case_sql(SPLIT_WEIGHTS, "doc_id")
+    return f"""
+WITH kept AS (SELECT doc_id, text FROM documents WHERE {qs} >= {PREP_QUALITY_MIN}),
+ k AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+       FROM kept GROUP BY md5(substr(text, 1, {PREP_FP_LEN}))),
+ s AS (SELECT doc_id, n_dups, {split_case} AS split FROM k)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_dups) AS BIGINT) AS n_source_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_keeper_id
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -1510,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "sample_splits": q_sample_splits,
         "token_shards": q_token_shards,
+        "corpus_prep": q_corpus_prep,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1572,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": _text_profile_sql(),
         "sample_splits": _sample_splits_sql(),
         "token_shards": _token_shards_sql(),
+        "corpus_prep": _corpus_prep_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
         "ann_lsh_recall": _values_sql(
