@@ -1090,6 +1090,80 @@ def _token_shards_sql() -> str:
     )
 
 
+STREAM_N_KEYS = 20000
+STREAM_BASE_EPOCH = 1_760_000_040  # divisible by 60: window starts align cleanly
+STREAM_TILE_LEVEL = 3
+STREAM_WINDOW_S = 60
+
+
+def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, fully oracled: the watermarked streaming tile
+    rollup (streaming/encode_stream.py) run to completion over a bounded
+    deterministic input with trigger=availableNow + complete output mode —
+    the final state is exactly the batch GROUP BY, so the stream gets a
+    golden oracle instead of the usual rows-only pass.  Input rows are
+    (ts, key) with ts a pure function of key; the pipeline geotags, runs
+    the K23 encode UDF inside the micro-batch plan, parents to tiles
+    (native bit math) and windows by event time."""
+    import uuid
+
+    from s2_geometry_library_java_spark.streaming.encode_stream import streaming_tile_counts
+
+    indir = "/tmp/s2gate_stream_input"
+    if not os.path.exists(os.path.join(indir, "_SUCCESS")):
+        spark.range(STREAM_N_KEYS).select(
+            F.timestamp_seconds(
+                F.lit(STREAM_BASE_EPOCH) + (F.col("id") % F.lit(600))
+            ).alias("ts"),
+            F.col("id").alias("key"),
+        ).coalesce(4).write.mode("overwrite").parquet(indir)
+    stream = spark.readStream.schema("ts timestamp, key long").parquet(indir)
+    agg = streaming_tile_counts(
+        stream,
+        tile_level=STREAM_TILE_LEVEL,
+        window=f"{STREAM_WINDOW_S} seconds",
+        watermark="120 seconds",
+    )
+    name = f"stream_tile_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").cast("long").alias("win_start"),
+        F.col("tile_id"),
+        F.col("n"),
+    )
+
+
+def _golden_stream_tile_sql() -> str:
+    """Driver-side recompute of the final streaming state: same geotag
+    arithmetic, same encode kernel, same parent bit math, same epoch-aligned
+    window floor — pinned as typed VALUES."""
+    import pandas as pd
+
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+
+    keys = np.arange(STREAM_N_KEYS, dtype=np.int64)
+    lat = -90.0 + 180.0 * (((keys * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0)
+    lng = -180.0 + 360.0 * (((keys * 2246822519 + 1013904223) % 4294967296).astype(np.float64) / 4294967296.0)
+    tiles = ck.parent(ck.from_latlng_degrees(lat, lng), STREAM_TILE_LEVEL).view(np.int64)
+    ts = STREAM_BASE_EPOCH + (keys % 600)
+    win = (ts // STREAM_WINDOW_S) * STREAM_WINDOW_S
+    pdf = pd.DataFrame({"win_start": win, "tile_id": tiles})
+    grp = pdf.groupby(["win_start", "tile_id"], sort=True).size().reset_index(name="n")
+    rows = [(int(w), int(t), int(c)) for w, t, c in grp.itertuples(index=False, name=None)]
+    return _values_sql(
+        rows,
+        "win_start, tile_id, n",
+        casts={"win_start": "BIGINT", "tile_id": "BIGINT", "n": "BIGINT"},
+    )
+
+
 PREP_QUALITY_MIN = 0.55
 PREP_FP_LEN = 32
 
@@ -1560,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_splits": q_sample_splits,
         "token_shards": q_token_shards,
         "corpus_prep": q_corpus_prep,
+        "stream_tile_counts": q_stream_tile_counts,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1623,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_splits": _sample_splits_sql(),
         "token_shards": _token_shards_sql(),
         "corpus_prep": _corpus_prep_sql(),
+        "stream_tile_counts": _golden_stream_tile_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
         "ann_lsh_recall": _values_sql(
