@@ -1164,6 +1164,44 @@ def _golden_stream_tile_sql() -> str:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming exact-dedup (applyInPandasWithState), fully
+    oracled: the sf documents table streams through as ONE micro-batch
+    (single input file + availableNow), so the first-occurrence output is
+    exactly the batch GROUP BY — keeper = min doc_id, n_new_copies = the
+    full per-hash count.  Content is the same 32-char prefix fingerprint
+    as corpus_prep so the dedup actually bites."""
+    import uuid
+
+    from s2_geometry_library_java_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    indir = f"/tmp/s2gate_stream_docs_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(indir, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(f"substring(text, 1, {PREP_FP_LEN})").alias("content")
+        ).coalesce(1).write.mode("overwrite").parquet(indir)
+    stream = spark.readStream.schema("doc_id long, content string").parquet(indir)
+    name = f"stream_dedup_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_dedup_sql() -> str:
+    return (
+        f"SELECT md5(substr(text, 1, {PREP_FP_LEN})) AS content_hash, "
+        f"min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_new_copies "
+        f"FROM documents GROUP BY 1"
+    )
+
+
 PREP_QUALITY_MIN = 0.55
 PREP_FP_LEN = 32
 
@@ -1635,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "corpus_prep": q_corpus_prep,
         "stream_tile_counts": q_stream_tile_counts,
+        "stream_dedup": q_stream_dedup,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1699,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "corpus_prep": _corpus_prep_sql(),
         "stream_tile_counts": _golden_stream_tile_sql(),
+        "stream_dedup": _stream_dedup_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
         "ann_lsh_recall": _values_sql(
