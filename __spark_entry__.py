@@ -924,8 +924,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROWS_PER_BAND = len(dedup.MINHASH_COEFFS) // dedup.LSH_BANDS
-_Q_MINHASH_PAIRS_SQL = f"""
-WITH sh AS (SELECT doc_id, {dedup.shingles_duck('text')} AS shingles FROM documents),
+# The MinHash-LSH CTE chain, shared by the pairs gate and the clusters /
+# collapse gates (which run connected components over the same pairs).
+_MINHASH_CHAIN_SQL = f"""
+ sh AS (SELECT doc_id, {dedup.shingles_duck('text')} AS shingles FROM documents),
  hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> {dedup.hash61_duck('s')}) AS hs FROM sh),
  sig AS (SELECT doc_id, shingles, {dedup.minhash_sig_duck('hs')} AS sig FROM hs),
  bands AS (
@@ -942,7 +944,58 @@ WITH sh AS (SELECT doc_id, {dedup.shingles_duck('text')} AS shingles FROM docume
      round(len(list_intersect(sa.shingles, sb.shingles))
            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE), 9) AS jaccard
    FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+"""
+
+_Q_MINHASH_PAIRS_SQL = f"""
+WITH{_MINHASH_CHAIN_SQL}
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35
+"""
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
+    connected components (large-star/small-star) -> (doc_id, cluster_id)
+    over the whole corpus, cluster_id = component-min doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.35)
+    return dedup.neardup_clusters(pairs, docs)
+
+
+# The oracle computes the same components with a recursive CTE: every doc
+# seeds its own label, labels flow along (symmetrized) pair edges until the
+# UNION fixpoint, min reachable label = component min = cluster id.
+_CLUSTERS_CHAIN_SQL = f"""{_MINHASH_CHAIN_SQL},
+ pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.35),
+ edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+ comp(node, label) AS (
+   SELECT doc_id, doc_id FROM documents
+   UNION
+   SELECT e.eb, c.label FROM comp c JOIN edges e ON e.ea = c.node),
+ clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node)
+"""
+
+_Q_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE{_CLUSTERS_CHAIN_SQL}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def q_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each near-dup cluster to its keeper row (the cluster-min doc)
+    annotated with the member count; singletons keep n_members = 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.35)
+    clusters = dedup.neardup_clusters(pairs, docs)
+    return dedup.collapse_neardups(docs, clusters).select(
+        "doc_id", "lang", "n_chars", "n_members"
+    )
+
+
+_Q_NEARDUP_COLLAPSE_SQL = f"""
+WITH RECURSIVE{_CLUSTERS_CHAIN_SQL},
+ sizes AS (SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY cluster_id)
+SELECT d.doc_id, d.lang, d.n_chars, s.n_members
+FROM documents d JOIN sizes s ON s.cluster_id = d.doc_id
 """
 
 
@@ -1664,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_collapse": q_neardup_collapse,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1729,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "minhash_sigs": _Q_MINHASH_SIGS_SQL,
         "minhash_pairs": _Q_MINHASH_PAIRS_SQL,
+        "neardup_clusters": _Q_NEARDUP_CLUSTERS_SQL,
+        "neardup_collapse": _Q_NEARDUP_COLLAPSE_SQL,
         "simhash": _Q_SIMHASH_SQL,
         "simhash_pairs": _Q_SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,

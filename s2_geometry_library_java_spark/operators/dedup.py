@@ -347,3 +347,131 @@ def simhash_neardup_pairs(
             "hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster collapse: distributed connected components
+# ---------------------------------------------------------------------------
+# The pair generators above (MinHash-LSH / SimHash / n-gram Jaccard) emit the
+# EDGES of the near-duplicate graph; deduplicating a corpus needs its
+# connected COMPONENTS (transitive closure: a~b, b~c => {a,b,c} is one
+# cluster, keep one member).  The classic single-box answer is union-find;
+# the distributed answer is the alternating large-star/small-star algorithm
+# (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+# each phase is one groupBy + one explode, edge count never grows beyond
+# O(n + m), and the round count is O(log^2 n) INDEPENDENT of graph diameter
+# (plain min-label propagation needs O(diameter) rounds — a transitive
+# near-dup chain of length 10^6 would never finish).  At convergence the
+# edge set is a forest of stars (node -> component-min root), one star per
+# component.
+#
+# Scale notes: each round shuffles on node id only (edges carry two BIGINTs,
+# never document content); lineage is cut per round with localCheckpoint so
+# round k's plan does not re-execute rounds 1..k-1; a giant near-dup cluster
+# makes its root a high-degree star center, which is exactly the load the
+# paper proves balanced for large-star (high-degree nodes hand their
+# neighbors to the min, splitting the reduce fan-in across rounds).
+
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, m = min(N(u) + {u}).
+
+    Input/output edges are canonically oriented (u > v); emitted pairs keep
+    that invariant because v > u >= m.
+    """
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    g = nbrs.groupBy("u").agg(F.collect_set("v").alias("ns"))
+    return (
+        g.select(
+            F.col("u"),
+            F.least(F.col("u"), F.array_min("ns")).alias("m"),
+            F.explode("ns").alias("vv"),
+        )
+        .filter((F.col("vv") > F.col("u")) & (F.col("vv") != F.col("m")))
+        .select(F.col("vv").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Attach every smaller neighbor (and u itself) to m = min of them.
+
+    With canonical orientation every ns entry is < u, so min(N + {u}) is
+    just array_min(ns); emitted pairs are (vv, m) with vv > m.
+    """
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    g = o.groupBy("u").agg(F.collect_set("v").alias("ns"))
+    return (
+        g.select(
+            F.array_min("ns").alias("m"),
+            F.explode(F.array_union("ns", F.array(F.col("u")))).alias("vv"),
+        )
+        .filter(F.col("vv") != F.col("m"))
+        .select(F.col("vv").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, root) for every node appearing in ``pairs``; root = the
+    minimum node id of the node's connected component (roots map to
+    themselves).  Raises RuntimeError if the O(log^2 n) bound is somehow
+    exceeded (max_iter rounds) rather than looping forever.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        if n_prev == 0:
+            break
+        nxt = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_prev and nxt.join(e, ["u", "v"], "left_anti").isEmpty():
+            e = nxt
+            break
+        e, n_prev = nxt, n_nxt
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn("root", F.col("node"))
+    return e.select(F.col("u").alias("node"), F.col("v").alias("root")).union(roots)
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    universe: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) over the WHOLE universe: paired docs get their
+    component's min id, unpaired docs are their own singleton cluster."""
+    comps = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    return universe.select(id_col).join(comps, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("root"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def collapse_neardups(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one keeper row per cluster (the cluster_id member, i.e. the min
+    doc id) annotated with n_members; everything else is dropped.  The
+    collapse is a count aggregate + an equi-join on the keeper id — no
+    content moves for dropped rows."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return docs.join(sizes, docs[id_col] == sizes["cluster_id"]).drop("cluster_id")

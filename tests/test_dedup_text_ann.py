@@ -288,3 +288,77 @@ def test_embedding_neardup_blocked_is_bit_exact_vs_brute(emb):
     brute = {tuple(r) for r in ann.embedding_neardup_brute(emb, threshold=0.4).collect()}
     blocked = {tuple(r) for r in ann.embedding_neardup(emb, threshold=0.4, n_blocks=8).collect()}
     assert brute == blocked and len(brute) > 0
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup cluster collapse)
+# ---------------------------------------------------------------------------
+def _uf_components(n_nodes, edges):
+    """Pure-Python union-find oracle: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(df)
+    return {r["node"]: r["root"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 25), (2, 80, 120), (3, 200, 60)])
+def test_connected_components_vs_union_find(spark, seed, n, m):
+    rng = np.random.RandomState(seed)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b]
+    got = _cc_spark(spark, edges)
+    expect = _uf_components(n, edges)
+    touched = {a for e in edges for a in e}
+    assert got == {x: expect[x] for x in touched}
+
+
+def test_connected_components_path_graph_beats_diameter(spark):
+    # a 64-node chain has diameter 63; large-star/small-star must converge in
+    # O(log^2 n) rounds, far under the 12-round budget (label propagation
+    # would need ~63) — max_iter raises if the bound is exceeded.
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(df, max_iter=12)
+    assert {(r["node"], r["root"]) for r in out.collect()} == {(i, 0) for i in range(64)}
+
+
+def test_connected_components_empty_and_selfpairs(spark):
+    df = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert dedup.connected_components(df).count() == 0
+
+
+def test_neardup_clusters_and_collapse(docs, docs_pdf):
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.35)
+    clusters = dedup.neardup_clusters(pairs, docs)
+    rows = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert len(rows) == len(docs_pdf)  # whole universe covered
+    ids = sorted(docs_pdf["doc_id"])
+    idx = {d: i for i, d in enumerate(ids)}
+    edges = [
+        (idx[r["id_a"]], idx[r["id_b"]]) for r in pairs.collect()
+    ]
+    expect = _uf_components(len(ids), edges)
+    assert rows == {d: ids[expect[idx[d]]] for d in ids}
+    collapsed = dedup.collapse_neardups(docs, clusters)
+    keepers = {r["doc_id"]: r["n_members"] for r in collapsed.collect()}
+    from collections import Counter
+
+    sizes = Counter(rows.values())
+    assert keepers == dict(sizes)
+    assert set(collapsed.columns) == set(docs.columns) | {"n_members"}
