@@ -1378,6 +1378,31 @@ SELECT id_a, id_b, round(sim, 9) AS sim FROM c WHERE sim >= {NEARDUP_TAU}
 """
 
 
+def q_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the embedding corpus: the
+    centroid-blocked exact cosine pairs feed the same distributed
+    connected-components collapse as the text path (one operator, both
+    modalities)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ann.embedding_neardup(emb, threshold=NEARDUP_TAU)
+    return dedup.neardup_clusters(pairs, emb, id_col="vec_id")
+
+
+_Q_EMBED_CLUSTERS_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ q AS (SELECT vec_id AS query_id, emb AS qvec FROM e),
+ c AS (SELECT q.query_id AS id_a, e.vec_id AS id_b, {_COS_DUCK} AS sim
+       FROM e CROSS JOIN q WHERE q.query_id < e.vec_id),
+ pairs AS (SELECT id_a, id_b FROM c WHERE sim >= {NEARDUP_TAU}),
+ edg AS (SELECT id_a AS ea, id_b AS eb FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+ comp(node, label) AS (
+   SELECT vec_id, vec_id FROM embeddings
+   UNION
+   SELECT g.eb, cc.label FROM comp cc JOIN edg g ON g.ea = cc.node)
+SELECT node AS vec_id, min(label) AS cluster_id FROM comp GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization (window functions beyond ranking)
 # ---------------------------------------------------------------------------
@@ -1733,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh_recall": q_ann_lsh_recall,
         "embed_neardup": q_embed_neardup,
+        "embed_clusters": q_embed_clusters,
         "event_sessions": q_event_sessions,
         "boundary_rings": q_boundary_rings,
         "polygon_boolops": q_polygon_boolops,
@@ -1804,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
             casts={"query_id": "BIGINT", "n_hits": "INTEGER"},
         ),
         "embed_neardup": _Q_EMBED_NEARDUP_SQL,
+        "embed_clusters": _Q_EMBED_CLUSTERS_SQL,
         "event_sessions": _Q_EVENT_SESSIONS_SQL,
         "boundary_rings": _values_sql(
             _golden_boundary_rows(),

@@ -367,10 +367,12 @@ def simhash_neardup_pairs(
 #
 # Scale notes: each round shuffles on node id only (edges carry two BIGINTs,
 # never document content); lineage is cut per round with localCheckpoint so
-# round k's plan does not re-execute rounds 1..k-1; a giant near-dup cluster
-# makes its root a high-degree star center, which is exactly the load the
-# paper proves balanced for large-star (high-degree nodes hand their
-# neighbors to the min, splitting the reduce fan-in across rounds).
+# round k's plan does not re-execute rounds 1..k-1.  Both phases need only
+# the per-node MINIMUM neighbor, so they are expressed as a groupBy.min
+# (map-side partial aggregation — a 10^9-member cluster's root never
+# materializes its adjacency in one task, which a collect_set formulation
+# would) joined back to the edge list; the join's hot key (the star root)
+# has a singleton build side, the shape AQE skew-join splits for free.
 
 
 def _cc_large_star(e: DataFrame) -> DataFrame:
@@ -380,15 +382,14 @@ def _cc_large_star(e: DataFrame) -> DataFrame:
     that invariant because v > u >= m.
     """
     nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    g = nbrs.groupBy("u").agg(F.collect_set("v").alias("ns"))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     return (
-        g.select(
-            F.col("u"),
-            F.least(F.col("u"), F.array_min("ns")).alias("m"),
-            F.explode("ns").alias("vv"),
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("mn")).alias("v"),
         )
-        .filter((F.col("vv") > F.col("u")) & (F.col("vv") != F.col("m")))
-        .select(F.col("vv").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
@@ -396,20 +397,18 @@ def _cc_large_star(e: DataFrame) -> DataFrame:
 def _cc_small_star(e: DataFrame) -> DataFrame:
     """Attach every smaller neighbor (and u itself) to m = min of them.
 
-    With canonical orientation every ns entry is < u, so min(N + {u}) is
-    just array_min(ns); emitted pairs are (vv, m) with vv > m.
+    With canonical orientation every neighbor is < u, so min(N + {u}) is
+    the plain groupBy.min; emitted pairs are (node, m) with node > m.
     """
     o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    g = o.groupBy("u").agg(F.collect_set("v").alias("ns"))
-    return (
-        g.select(
-            F.array_min("ns").alias("m"),
-            F.explode(F.array_union("ns", F.array(F.col("u")))).alias("vv"),
-        )
-        .filter(F.col("vv") != F.col("m"))
-        .select(F.col("vv").alias("u"), F.col("m").alias("v"))
-        .distinct()
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    children = (
+        o.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return children.union(self_edges).distinct()
 
 
 def connected_components(
