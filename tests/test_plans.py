@@ -174,3 +174,24 @@ def test_poly_refinement_single_pass(spark, points):
     # the ancestor strategy keeps the original two-hop shape
     assert plan_anc.count("ArrowEvalPython") == 2
     assert plan_anc.count("Scan parquet") == 1
+
+
+def test_cc_star_phases_are_min_aggs_not_adjacency_arrays(spark):
+    # Connected components must never materialize a star root's adjacency in
+    # one task: each phase is a partial-aggregatable min (HashAggregate, no
+    # collect_set ObjectHashAggregate) joined back to the edge list, all
+    # JVM-native (no Python hop) and never a cartesian product.
+    from s2_geometry_library_java_spark.operators.dedup import (
+        _cc_large_star,
+        _cc_small_star,
+    )
+
+    e = spark.createDataFrame([(3, 1), (5, 2), (5, 1)], "u long, v long")
+    for phase in (_cc_large_star, _cc_small_star):
+        plan = plan_of(phase(e))
+        assert "collect_set" not in plan
+        assert "ObjectHashAggregate" not in plan
+        assert "HashAggregate" in plan  # partial + final min agg
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
