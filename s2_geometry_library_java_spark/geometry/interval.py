@@ -112,10 +112,15 @@ class S1Interval:
 
     def __init__(self, lo: float, hi: float, checked: bool = False):
         if not checked:
+            # Both conditions test the ORIGINAL endpoints (S1Interval.java:58-66
+            # assigns to newLo/newHi): S1Interval(-pi, -pi) must normalize to
+            # the point (pi, pi), not the empty-looking (pi, -pi).
+            new_lo, new_hi = lo, hi
             if lo == -M_PI and hi != M_PI:
-                lo = M_PI
+                new_lo = M_PI
             if hi == -M_PI and lo != M_PI:
-                hi = M_PI
+                new_hi = M_PI
+            lo, hi = new_lo, new_hi
         self.lo = lo
         self.hi = hi
 
@@ -150,6 +155,15 @@ class S1Interval:
         if d >= 0:
             return d
         return (b + M_PI) - (a - M_PI)
+
+    def is_valid(self) -> bool:
+        # S1Interval.java:129-133
+        return (
+            abs(self.lo) <= M_PI
+            and abs(self.hi) <= M_PI
+            and not (self.lo == -M_PI and self.hi != M_PI)
+            and not (self.hi == -M_PI and self.lo != M_PI)
+        )
 
     def is_full(self) -> bool:
         return self.hi - self.lo == 2 * M_PI

@@ -1,0 +1,124 @@
+"""S2Test projection-identity ports and S2EdgeUtilTest.testWedges port.
+
+Covers the reference tests not exercised elsewhere: traversal-order table
+consistency (S2Test.java testTraversalOrder), ST<->UV inverses (testSTUV),
+face frame identities + cross-face Hilbert continuity (testFaceUVtoXYZ),
+axis/derivative consistency (testUVAxes), and the full 12-fixture wedge
+relation matrix (S2EdgeUtilTest.java:260-340).  testUVNorms is not ported:
+it pins getUNorm/getVNorm, edge normals this engine never needs (loop
+containment uses crossing parity, not per-edge normals).
+"""
+
+import numpy as np
+
+from s2_geometry_library_java_spark.geometry.loop import (
+    _wedge_contains,
+    _wedge_contains_or_crosses,
+    _wedge_intersects,
+)
+from s2_geometry_library_java_spark.kernel import cellid as c
+
+
+def _swap_axes(ij: int) -> int:
+    return ((ij >> 1) & 1) + ((ij & 1) << 1)
+
+
+def _invert_bits(ij: int) -> int:
+    return ij ^ 3
+
+
+def test_traversal_order():
+    # S2Test.java testTraversalOrder: table consistency under axis swap /
+    # direction inversion, and that POS_TO_IJ / IJ_TO_POS are inverses.
+    for r in range(4):
+        for i in range(4):
+            assert c.IJ_TO_POS[r][i] == c.IJ_TO_POS[r ^ c.SWAP_MASK][_swap_axes(i)]
+            assert c.POS_TO_IJ[r][i] == _swap_axes(c.POS_TO_IJ[r ^ c.SWAP_MASK][i])
+            assert c.IJ_TO_POS[r][i] == c.IJ_TO_POS[r ^ c.INVERT_MASK][_invert_bits(i)]
+            assert c.POS_TO_IJ[r][i] == _invert_bits(c.POS_TO_IJ[r ^ c.INVERT_MASK][i])
+            assert c.IJ_TO_POS[r][c.POS_TO_IJ[r][i]] == i
+            assert c.POS_TO_IJ[r][c.IJ_TO_POS[r][i]] == i
+
+
+def test_stuv():
+    # S2Test.java testSTUV: fixed points at -1/0/1 and inverse round-trips.
+    ends = np.array([-1.0, 0.0, 1.0])
+    assert np.array_equal(c.st_to_uv(ends), ends)
+    assert np.array_equal(c.uv_to_st(ends), ends)
+    x = np.arange(-1.0, 1.0 + 1e-12, 1e-4)
+    assert np.allclose(c.uv_to_st(c.st_to_uv(x)), x, atol=1e-10)
+    assert np.allclose(c.st_to_uv(c.uv_to_st(x)), x, atol=1e-10)
+
+
+def test_face_uv_to_xyz():
+    # S2Test.java testFaceUVtoXYZ.
+    faces = np.arange(6)
+    zero = np.zeros(6)
+    centers = c.face_uv_to_xyz(faces, zero, zero)
+    # Each face center is its norm, a unit axis vector; abs-sum = (2,2,2).
+    assert np.array_equal(centers, c.FACE_NORMS)
+    assert np.array_equal(np.abs(centers).max(axis=1), np.ones(6))
+    assert np.array_equal(np.abs(centers).sum(axis=0), np.array([2.0, 2.0, 2.0]))
+    # Right-handed frame on every face: (uAxis x vAxis) . norm == 1.
+    rh = (np.cross(c.FACE_U_AXES, c.FACE_V_AXES) * centers).sum(axis=1)
+    assert np.array_equal(rh, np.ones(6))
+    # Hilbert curves on the faces join into one continuous cube curve: the
+    # face curve ends at (1,-1) (no swap) or (-1,1) (swap) and the next
+    # face's curve starts at (-1,-1).
+    for face in range(6):
+        sign = -1.0 if (face & c.SWAP_MASK) else 1.0
+        end = c.face_uv_to_xyz(np.array([face]), np.array([sign]), np.array([-sign]))
+        start = c.face_uv_to_xyz(np.array([(face + 1) % 6]), np.array([-1.0]), np.array([-1.0]))
+        assert np.array_equal(end, start)
+
+
+def test_uv_axes():
+    # S2Test.java testUVAxes: axes are the du/dv derivatives of faceUvToXyz.
+    faces = np.arange(6)
+    zero = np.zeros(6)
+    one = np.ones(6)
+    origin = c.face_uv_to_xyz(faces, zero, zero)
+    assert np.array_equal(c.FACE_U_AXES, c.face_uv_to_xyz(faces, one, zero) - origin)
+    assert np.array_equal(c.FACE_V_AXES, c.face_uv_to_xyz(faces, zero, one) - origin)
+
+
+def _norm(p):
+    p = np.asarray(p, dtype=np.float64)
+    return p / np.linalg.norm(p)
+
+
+def _assert_wedge(a0, ab1, a2, b0, b2, contains, intersects, crosses):
+    # S2EdgeUtilTest.java:260-281 assertWedge (WedgeContainsOrIntersects is
+    # by definition contains?1 : intersects?-1 : 0, asserted via the parts).
+    a0, ab1, a2, b0, b2 = map(_norm, (a0, ab1, a2, b0, b2))
+    assert _wedge_contains(a0, ab1, a2, b0, b2) == (1 if contains else 0)
+    assert _wedge_intersects(a0, ab1, a2, b0, b2) == (-1 if intersects else 0)
+    assert _wedge_contains_or_crosses(a0, ab1, a2, b0, b2) == (
+        1 if contains else -1 if crosses else 0
+    )
+
+
+def test_wedges():
+    # S2EdgeUtilTest.java:283-340 testWedges, all 12 fixtures in order.
+    # Intersection in one wedge.
+    _assert_wedge((-1, 0, 10), (0, 0, 1), (1, 2, 10), (0, 1, 10), (1, -2, 10), False, True, True)
+    # Intersection in two wedges.
+    _assert_wedge((-1, -1, 10), (0, 0, 1), (1, -1, 10), (1, 0, 10), (-1, 1, 10), False, True, True)
+    # Normal containment.
+    _assert_wedge((-1, -1, 10), (0, 0, 1), (1, -1, 10), (-1, 0, 10), (1, 0, 10), True, True, False)
+    # Containment with equality on one side.
+    _assert_wedge((2, 1, 10), (0, 0, 1), (-1, -1, 10), (2, 1, 10), (1, -5, 10), True, True, False)
+    # Containment with equality on the other side.
+    _assert_wedge((2, 1, 10), (0, 0, 1), (-1, -1, 10), (1, -2, 10), (-1, -1, 10), True, True, False)
+    # Containment with equality on both sides.
+    _assert_wedge((-2, 3, 10), (0, 0, 1), (4, -5, 10), (-2, 3, 10), (4, -5, 10), True, True, False)
+    # Disjoint with equality on one side.
+    _assert_wedge((-2, 3, 10), (0, 0, 1), (4, -5, 10), (4, -5, 10), (-2, -3, 10), False, False, False)
+    # Disjoint with equality on the other side.
+    _assert_wedge((-2, 3, 10), (0, 0, 1), (0, 5, 10), (4, -5, 10), (-2, 3, 10), False, False, False)
+    # Disjoint with equality on both sides.
+    _assert_wedge((-2, 3, 10), (0, 0, 1), (4, -5, 10), (4, -5, 10), (-2, 3, 10), False, False, False)
+    # B contains A with equality on one side.
+    _assert_wedge((2, 1, 10), (0, 0, 1), (1, -5, 10), (2, 1, 10), (-1, -1, 10), False, True, False)
+    # B contains A with equality on the other side.
+    _assert_wedge((2, 1, 10), (0, 0, 1), (1, -5, 10), (-2, 1, 10), (1, -5, 10), False, True, False)
