@@ -59,11 +59,18 @@ class S2LatLngRect:
         d = math.pi / 180.0
         return S2LatLngRect(R1Interval(lat_lo * d, lat_hi * d), S1Interval(lng_lo * d, lng_hi * d))
 
+    @staticmethod
+    def from_center_size(center_lat: float, center_lng: float, size_lat: float, size_lng: float) -> "S2LatLngRect":
+        # S2LatLngRect.java:110-118
+        return S2LatLngRect.from_point(center_lat, center_lng).expanded(0.5 * size_lat, 0.5 * size_lng)
+
     def is_valid(self) -> bool:
+        # S2LatLngRect.java:137-143
         return (
             abs(self.lat.lo) <= M_PI_2
             and abs(self.lat.hi) <= M_PI_2
-            and self.lng.is_valid() if hasattr(self.lng, "is_valid") else True
+            and self.lng.is_valid()
+            and self.lat.is_empty() == self.lng.is_empty()
         )
 
     def is_empty(self) -> bool:
