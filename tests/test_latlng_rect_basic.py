@@ -231,3 +231,10 @@ def test_cell_ops():
         cell202,
         2,
     )
+
+
+def test_area():
+    # S2LatLngRectTest.java testArea
+    assert S2LatLngRect.empty().area() == 0.0
+    assert abs(S2LatLngRect.full().area() - 4 * PI) < 1e-12
+    assert abs(rect_deg(0, 0, 90, 90).area() - PI / 2) < 1e-12

@@ -223,3 +223,41 @@ def test_haversine_vs_angle_mass():
     hv = pr.haversine_radians(lat1, lng1, lat2, lng2)
     ang = pr.angle(p1, p2)
     assert np.abs(hv - ang).max() < 1e-8
+
+
+def test_intersection_tolerance():
+    # S2EdgeUtilTest.java testIntersectionTolerance: edges crossing at angles
+    # down to 1e-15 — the computed intersection x need not be near the true
+    # crossing p, but MUST lie within DEFAULT_INTERSECTION_TOLERANCE of both
+    # edges and be ordered between each edge's endpoints.  Same construction
+    # as the reference with a fixed numpy seed (the property, not the RNG
+    # stream, is what the reference pins — seed 123456 per GeometryTestCase).
+    rng = np.random.RandomState(123456)
+
+    def rand_frame():
+        p = rng.randn(3)
+        p /= np.linalg.norm(p)
+        d1 = np.cross(p, rng.randn(3))
+        d1 /= np.linalg.norm(d1)
+        d2 = np.cross(p, d1)
+        d2 /= np.linalg.norm(d2)
+        return p, d1, d2
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    for _ in range(1000):
+        p, d1, d2 = rand_frame()
+        slope = 1e-15 ** rng.rand()
+        d2 = d1 + d2 * slope
+        a = unit(p + d1 * (1e-15 / slope) ** rng.rand())
+        b = unit(p - d1 * (1e-15 / slope) ** rng.rand())
+        c = unit(p + d2 * (1e-15 / slope) ** rng.rand())
+        d = unit(p - d2 * (1e-15 / slope) ** rng.rand())
+        x = pr.get_intersection(a, b, c, d)
+        dist_ab = float(pr.edge_distance(x, a, b))
+        dist_cd = float(pr.edge_distance(x, c, d))
+        assert dist_ab < pr.DEFAULT_INTERSECTION_TOLERANCE
+        assert dist_cd < pr.DEFAULT_INTERSECTION_TOLERANCE
+        assert pr.ordered_ccw(a, x, b, unit(pr.robust_cross_prod(a, b)))
+        assert pr.ordered_ccw(c, x, d, unit(pr.robust_cross_prod(c, d)))
