@@ -391,3 +391,151 @@ def test_simple_covering():
         cap = random_cap(0.1 * metrics.AVG_AREA.get_value(30), max_area)
         covering = S2RegionCoverer.get_simple_covering(cap, cap.axis, level)
         _check_covering(coverer, cap, covering, False)
+
+
+# ---------------------------------------------------------------------------
+# S2LoopTest.testLoopRelations (:232-307) + testGetDistance (:467-503)
+# and S2PolygonTest.testGetDistance (:304-337)
+# ---------------------------------------------------------------------------
+north_hemi3 = make_loop("0:-180, 0:-60, 0:60")
+loop_a = make_loop("0:178, -1:180, 0:-179, 1:-180")
+loop_b = make_loop("0:179, -1:180, 0:-178, 1:-180")
+a_intersect_b = make_loop("0:179, -1:180, 0:-179, 1:-180")
+a_union_b = make_loop("0:178, -1:180, 0:-178, 1:-180")
+a_minus_b = make_loop("0:178, -1:180, 0:179, 1:-180")
+b_minus_a = make_loop("0:-179, -1:180, 0:-178, 1:-180")
+
+
+def _assert_relation(a, b, contains_or_crosses, intersects, nestable):
+    # S2LoopTest.java assertRelation
+    assert a.contains_loop(b) == (contains_or_crosses == 1)
+    assert a.intersects_loop(b) == intersects
+    if nestable:
+        assert a.contains_nested(b) == a.contains_loop(b)
+    if contains_or_crosses >= -1:
+        assert a.contains_or_crosses(b) == contains_or_crosses
+
+
+def test_loop_relations():
+    south_hemi = _inverted(north_hemi)
+    east_hemi = _inverted(west_hemi)
+    far_hemi = _inverted(near_hemi)
+
+    _assert_relation(north_hemi, north_hemi, 1, True, False)
+    _assert_relation(north_hemi, south_hemi, 0, False, False)
+    _assert_relation(north_hemi, east_hemi, -1, True, False)
+    _assert_relation(north_hemi, arctic_80, 1, True, True)
+    _assert_relation(north_hemi, antarctic_80, 0, False, True)
+    _assert_relation(north_hemi, candy_cane, -1, True, False)
+
+    # We can't compare north_hemi3 vs. north_hemi or south_hemi.
+    _assert_relation(north_hemi3, north_hemi3, 1, True, False)
+    _assert_relation(north_hemi3, east_hemi, -1, True, False)
+    _assert_relation(north_hemi3, arctic_80, 1, True, True)
+    _assert_relation(north_hemi3, antarctic_80, 0, False, True)
+    _assert_relation(north_hemi3, candy_cane, -1, True, False)
+
+    _assert_relation(south_hemi, north_hemi, 0, False, False)
+    _assert_relation(south_hemi, south_hemi, 1, True, False)
+    _assert_relation(south_hemi, far_hemi, -1, True, False)
+    _assert_relation(south_hemi, arctic_80, 0, False, True)
+    _assert_relation(south_hemi, antarctic_80, 1, True, True)
+    _assert_relation(south_hemi, candy_cane, -1, True, False)
+
+    _assert_relation(candy_cane, north_hemi, -1, True, False)
+    _assert_relation(candy_cane, south_hemi, -1, True, False)
+    _assert_relation(candy_cane, arctic_80, 0, False, True)
+    _assert_relation(candy_cane, antarctic_80, 0, False, True)
+    _assert_relation(candy_cane, candy_cane, 1, True, False)
+
+    _assert_relation(near_hemi, west_hemi, -1, True, False)
+
+    _assert_relation(small_ne_cw, south_hemi, 1, True, False)
+    _assert_relation(small_ne_cw, west_hemi, 1, True, False)
+    _assert_relation(small_ne_cw, north_hemi, -2, True, False)
+    _assert_relation(small_ne_cw, east_hemi, -2, True, False)
+
+    _assert_relation(loop_a, loop_a, 1, True, False)
+    _assert_relation(loop_a, loop_b, -1, True, False)
+    _assert_relation(loop_a, a_intersect_b, 1, True, False)
+    _assert_relation(loop_a, a_union_b, 0, True, False)
+    _assert_relation(loop_a, a_minus_b, 1, True, False)
+    _assert_relation(loop_a, b_minus_a, 0, False, False)
+
+    _assert_relation(loop_b, loop_a, -1, True, False)
+    _assert_relation(loop_b, loop_b, 1, True, False)
+    _assert_relation(loop_b, a_intersect_b, 1, True, False)
+    _assert_relation(loop_b, a_union_b, 0, True, False)
+    _assert_relation(loop_b, a_minus_b, 0, False, False)
+    _assert_relation(loop_b, b_minus_a, 1, True, False)
+
+    _assert_relation(a_intersect_b, loop_a, 0, True, False)
+    _assert_relation(a_intersect_b, loop_b, 0, True, False)
+    _assert_relation(a_intersect_b, a_intersect_b, 1, True, False)
+    _assert_relation(a_intersect_b, a_union_b, 0, True, True)
+    _assert_relation(a_intersect_b, a_minus_b, 0, False, False)
+    _assert_relation(a_intersect_b, b_minus_a, 0, False, False)
+
+    _assert_relation(a_union_b, loop_a, 1, True, False)
+    _assert_relation(a_union_b, loop_b, 1, True, False)
+    _assert_relation(a_union_b, a_intersect_b, 1, True, True)
+    _assert_relation(a_union_b, a_union_b, 1, True, False)
+    _assert_relation(a_union_b, a_minus_b, 1, True, False)
+    _assert_relation(a_union_b, b_minus_a, 1, True, False)
+
+    _assert_relation(a_minus_b, loop_a, 0, True, False)
+    _assert_relation(a_minus_b, loop_b, 0, False, False)
+    _assert_relation(a_minus_b, a_intersect_b, 0, False, False)
+    _assert_relation(a_minus_b, a_union_b, 0, True, False)
+    _assert_relation(a_minus_b, a_minus_b, 1, True, False)
+    _assert_relation(a_minus_b, b_minus_a, 0, False, True)
+
+    _assert_relation(b_minus_a, loop_a, 0, False, False)
+    _assert_relation(b_minus_a, loop_b, 0, True, False)
+    _assert_relation(b_minus_a, a_intersect_b, 0, False, False)
+    _assert_relation(b_minus_a, a_union_b, 0, True, False)
+    _assert_relation(b_minus_a, a_minus_b, 0, False, True)
+    _assert_relation(b_minus_a, b_minus_a, 1, True, False)
+
+
+def test_loop_get_distance():
+    # S2LoopTest.testGetDistance: normal-onto-vertex, normal-not-onto-vertex,
+    # and not-along-a-normal cases; the closest point to the origin is (0,1)
+    # in all three, at exactly 1 degree measured along the equator.
+    eps = 1e-15
+    d = math.pi / 180.0
+    s1 = make_loop("0:1, 1:1, 1:2, 0:2")
+    s2 = make_loop("-1:1, 1:1, 1:2, -1:2")
+    s3 = make_loop("1:0, 2:1, 3:0, 2:-1")
+
+    for i in range(len(s1.vertices)):
+        assert abs(s1.get_distance(s1.vertices[i])) < eps
+    assert abs(s1.get_distance(make_point("0.5:1"))) < eps
+
+    origin = make_point("0:0")
+    assert abs(s1.get_distance(origin) / d - 1) < 1e-13
+    assert abs(s2.get_distance(origin) / d - 1) < 1e-13
+    assert abs(s3.get_distance(origin) / d - 1) < 1e-13
+
+
+def test_polygon_get_distance():
+    # S2PolygonTest.testGetDistance: vertices and edge points at distance 0,
+    # interior point at 0, and the hole pushing the origin 1 degree out.
+    eps = 1e-15
+    d = math.pi / 180.0
+    inner = "3:1, 3:-1, -3:-1, -3:1;"
+    outer = "4:2, 4:-2, -4:-2, -4:2;"
+    rect = make_polygon(inner)
+    shell = make_polygon(inner + outer)
+
+    for loop in shell.loops:
+        for j in range(len(loop.vertices)):
+            assert abs(shell.get_distance(loop.vertices[j])) < eps
+
+    mid = rect.loops[0].vertices[0] + rect.loops[0].vertices[1]
+    mid = mid / np.linalg.norm(mid)
+    assert abs(rect.get_distance(mid)) < eps
+
+    origin = make_point("0:0")
+    assert abs(rect.get_distance(origin)) < eps
+    assert abs(shell.get_distance(origin) / d - 1) < 1e-13
