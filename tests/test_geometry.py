@@ -539,3 +539,48 @@ def test_polygon_get_distance():
     origin = make_point("0:0")
     assert abs(rect.get_distance(origin)) < eps
     assert abs(shell.get_distance(origin) / d - 1) < 1e-13
+
+
+def test_loop_is_valid():
+    # S2LoopTest.testIsValid (+ the bowtie fixture :81) and testRoundingError.
+    from s2_geometry_library_java_spark.geometry.loop import loop_is_valid
+
+    bowtie = "0:0, 2:0, 1:1, 0:2, 2:2, 1:1"
+    assert loop_is_valid(loop_a.vertices)
+    assert loop_is_valid(loop_b.vertices)
+    assert not loop_is_valid(make_loop(bowtie).vertices)
+    # testRoundingError: nearly-colinear vertices must not be reported as
+    # crossing by the validity sweep.
+    pts = np.array(
+        [
+            [-0.9190364081111774, 0.17231932652084575, 0.35451111445694833],
+            [-0.92130667053206, 0.17274500072476123, 0.3483578383756171],
+            [-0.9257244057938284, 0.17357332608634282, 0.3360158106235289],
+            [-0.9278712595449962, 0.17397586116468677, 0.32982923679138537],
+        ]
+    )
+    assert loop_is_valid(pts)
+
+
+def test_cellunion_contains_cellunion():
+    # S2CellUnionTest.testContainsCellUnion with the reference's fixed seed.
+    rng = np.random.RandomState(123456)
+
+    def random_leaf():
+        face = rng.randint(6)
+        pos = rng.randint(0, 1 << 62) & ((1 << (2 * ck.MAX_LEVEL)) - 1)
+        return int(ck.from_face_pos_level(face, pos, ck.MAX_LEVEL)[0])
+
+    cells = {random_leaf() for _ in range(100)}
+    union = S2CellUnion(np.array(sorted(cells), dtype=np.uint64))
+    extra = random_leaf()
+    while extra in cells:
+        extra = random_leaf()
+    plus_one = S2CellUnion(np.array(sorted(cells | {extra}), dtype=np.uint64))
+    assert plus_one.contains_union(union)
+    assert not union.contains_union(plus_one)
+
+    parents = {int(ck.parent(np.array([c], dtype=np.uint64), ck.MAX_LEVEL - 1)[0]) for c in cells}
+    parent_union = S2CellUnion(np.array(sorted(parents), dtype=np.uint64))
+    assert parent_union.contains_union(union)
+    assert not union.contains_union(parent_union)
