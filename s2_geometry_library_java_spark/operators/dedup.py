@@ -331,21 +331,32 @@ def simhash_neardup_pairs(
     """Near-dup pairs by SimHash Hamming distance, bucketed on the high half
     (pairs within max_hamming<=16 that differ only in low bits are found; the
     standard multi-probe trade-off; exactness is restored in the pytest
-    brute-force cross-check at small n)."""
-    fp = simhash_fingerprints(docs, content_col, id_col)
-    fp = fp.withColumn("bucket", F.shiftright(F.col("simhash"), 16))
-    a = fp.alias("a")
-    b = fp.alias("b")
+    brute-force cross-check at small n).
+
+    Pairs are emitted by grouping the bucket rows and pairing in-bucket with
+    a higher-order expression — the same plan shape as minhash_neardup_pairs:
+    a bucket self-join would recompute the full token-hash/fingerprint
+    lineage on both sides and shuffle the corpus twice.  A degenerate hot
+    bucket emits |bucket|^2 pairs, inherent to fingerprint bucketing; the
+    pipeline mitigation is composition — collapse exact duplicates first
+    (exact_dedup / corpus_prep), so a hot bucket can only contain genuinely
+    distinct near-dup texts.
+    """
+    fp = simhash_fingerprints(docs, content_col, id_col).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 16)
+    )
+    pair_expr = (
+        "flatten(transform(rows, (x, i) -> "
+        "filter(transform(slice(rows, i + 2, size(rows)), y -> "
+        "struct(least(x.i, y.i) AS id_a, greatest(x.i, y.i) AS id_b, "
+        f"bit_count(x.s ^ y.s) AS hamming)), p -> p.hamming <= {int(max_hamming)})))"
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
-        )
+        fp.groupBy("bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))).alias("rows"))
+        .filter(F.size("rows") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
     )
 
 
