@@ -49,7 +49,7 @@ from s2_geometry_library_java_spark.functions.udfs import (
     s2_token,
 )
 from s2_geometry_library_java_spark.kernel import cellid as ck
-from s2_geometry_library_java_spark.operators import ann, dedup, text
+from s2_geometry_library_java_spark.operators import ann, decontam, dedup, text, trajectory
 from s2_geometry_library_java_spark.operators.covering import covering_rows
 from s2_geometry_library_java_spark.operators.knn import knn_join
 from s2_geometry_library_java_spark.operators.layers import Layer, cap_layer, loop_layer, polygon_layer, rect_layer
@@ -1079,6 +1079,84 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_profile(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level repetition metrics (duplicate-word /
+    top-word / duplicate-bigram fractions) — the corpus-quality filter
+    companion to q_text_profile."""
+    return text.text_repetition(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_repetition_sql() -> str:
+    cols = ["doc_id"]
+    for name, e in text.repetition_exprs("duck").items():
+        cols.append(f"round({e}, 9) AS {name}" if name.startswith("frac_") else f"{e} AS {name}")
+    return "SELECT " + ", ".join(cols) + " FROM documents"
+
+
+# Deterministic eval split for the decontamination gate: 1-in-41 docs form
+# the "benchmark"; the rest are the training corpus scanned for overlap.
+DECONTAM_EVAL_MOD = 41
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: training docs sharing any word
+    trigram with the deterministic 1-in-41 eval split, with per-doc
+    contaminated-gram counts and ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.ngram_contamination(
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0),
+    )
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup over geotagged events: step distances in
+    fixed-point nano-radians (order-independent integer sums) plus the
+    level-0 long-step count — many-polylines S2Polyline measures."""
+    return trajectory.trajectory_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event annotated with the latest
+    same-or-earlier 'error' event of its user (tagged-union sort-fill —
+    one shuffle, no range explode).  The right side is pre-deduped per
+    (user, ts) as the operator contract requires; DuckDB's native
+    ASOF JOIN states the oracle."""
+    from s2_geometry_library_java_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"), F.expr("max_by(value, event_id)").alias("value"))
+    )
+    return asof_join(ev.select("event_id", "user_id", "ts"), right, "user_id", payload_cols=["event_id", "value"])
+
+
+_Q_ASOF_SQL = """
+WITH r AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+           FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.event_id AS asof_event_id, r.value AS asof_value
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup (minute/hour/day) in
+    one GROUPING SETS pass; value sums are fixed-point BIGINT micro-units
+    so partial-agg order can't move the result."""
+    from s2_geometry_library_java_spark.operators.asof import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+def _time_rollup_oracle_sql() -> str:
+    from s2_geometry_library_java_spark.operators.asof import time_rollup_sql
+
+    return time_rollup_sql()
+
+
 def _text_profile_sql() -> str:
     cols = ["doc_id", f"{text.langid_case('duck')} AS lang_guess"]
     for name, e in text.token_count_exprs("duck").items():
@@ -1749,6 +1827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "text_profile": q_text_profile,
+        "quality_repetition": q_quality_repetition,
+        "decontaminate": q_decontaminate,
+        "trajectory_stats": q_trajectory_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
         "sample_splits": q_sample_splits,
         "token_shards": q_token_shards,
         "corpus_prep": q_corpus_prep,
@@ -1817,6 +1900,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _ngram_jaccard_sql(NGJ_CAP_DF),
         "text_profile": _text_profile_sql(),
+        "quality_repetition": _quality_repetition_sql(),
+        "decontaminate": decontam.ngram_contamination_sql(
+            f"doc_id % {DECONTAM_EVAL_MOD} <> 0", f"doc_id % {DECONTAM_EVAL_MOD} = 0"
+        ),
+        "trajectory_stats": trajectory.trajectory_stats_sql(),
+        "asof_join": _Q_ASOF_SQL,
+        "time_rollup": _time_rollup_oracle_sql(),
         "sample_splits": _sample_splits_sql(),
         "token_shards": _token_shards_sql(),
         "corpus_prep": _corpus_prep_sql(),

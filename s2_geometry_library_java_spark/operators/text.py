@@ -101,6 +101,56 @@ def fingerprint_exprs(dialect: str, col: str = "text") -> dict[str, str]:
     }
 
 
+def repetition_exprs(dialect: str, col: str = "text") -> dict[str, str]:
+    """Gopher-style repetition-quality metrics at the word level:
+    duplicate-word fraction, top-word fraction, duplicate-bigram fraction.
+
+    Repetitious documents (boilerplate, scraper loops, keyword stuffing)
+    score high on all three; the standard corpus filter drops docs above a
+    per-metric threshold.  All-native array/list expressions — the Spark
+    side stays inside WholeStageCodegen, the DuckDB side states ground
+    truth with identical arithmetic.
+
+    COST: ``frac_top_word`` is O(distinct-words x words) per doc (the
+    argmax over per-word counts); linear-in-doc metrics surround it.  At
+    corpus scale that bounds per-row work by the max document length —
+    cap upstream (the documents fixture tops out at a few hundred words)
+    or length-truncate before profiling."""
+    if dialect == "spark":
+        # Bind the split-word array ONCE via the single-element-transform
+        # idiom (see word_ngrams_spark: a named projection would be inlined
+        # by Catalyst, re-running split() per lambda element).
+        def bound(expr: str) -> str:
+            return f"transform(array(split({col}, ' ')), ws -> {expr})[0]"
+
+        n = "size(ws)"
+        nd = "size(array_distinct(ws))"
+        top = "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))"
+        g2 = "transform(sequence(1, greatest(1, size(ws) - 1)), i -> concat_ws(' ', slice(ws, i, 2)))"
+        dup2 = f"(cast(size({g2}) - size(array_distinct({g2})) as double) / size({g2}))"
+        return {
+            "n_words": bound(n),
+            "frac_dup_words": bound(f"(cast({n} - {nd} as double) / {n})"),
+            "frac_top_word": bound(f"(cast({top} as double) / {n})"),
+            "frac_dup_2grams": bound(dup2),
+        }
+
+    def boundd(expr: str) -> str:
+        return f"list_transform([string_split({col}, ' ')], ws -> {expr})[1]"
+
+    n = "len(ws)"
+    nd = "len(list_distinct(ws))"
+    top = "list_aggregate(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w))), 'max')"
+    g2 = "list_transform(range(1, greatest(1, len(ws) - 1) + 1), i -> array_to_string(list_slice(ws, i, i + 1), ' '))"
+    dup2 = f"(cast(len({g2}) - len(list_distinct({g2})) as double) / len({g2}))"
+    return {
+        "n_words": boundd(n),
+        "frac_dup_words": boundd(f"(cast({n} - {nd} as double) / {n})"),
+        "frac_top_word": boundd(f"(cast({top} as double) / {n})"),
+        "frac_dup_2grams": boundd(dup2),
+    }
+
+
 # ---------------------------------------------------------------------------
 # DataFrame operators
 # ---------------------------------------------------------------------------
@@ -118,3 +168,15 @@ def text_profile(docs: DataFrame, content_col: str = "text", id_col: str = "doc_
     for name, e in fingerprint_exprs("spark", content_col).items():
         cols.append(F.expr(e).alias(name))
     return docs.select(*cols)
+
+
+def text_repetition(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with the word-level repetition metrics
+    (:func:`repetition_exprs`), rounded for cross-engine hash stability."""
+    from s2_geometry_library_java_spark.operators.dedup import spread
+
+    cols = [F.col(id_col)]
+    for name, e in repetition_exprs("spark", content_col).items():
+        c = F.expr(e)
+        cols.append((F.round(c, 9) if name.startswith("frac_") else c).alias(name))
+    return spread(docs).select(*cols)
