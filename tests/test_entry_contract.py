@@ -52,6 +52,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
             assert np.array_equal(
                 av.astype(np.int64), bv.astype(np.int64)
             ), f"{name}.{c}: int mismatch"
+        elif np.asarray(av).dtype.kind == "M" or np.asarray(bv).dtype.kind == "M":
+            # Spark lands datetime64[ns], DuckDB datetime64[us]; str() of the
+            # numpy scalars is unit-sensitive (trailing zeros) while the
+            # driver stringifies pd.Timestamp (unit-independent).  Compare the
+            # int64 view at one unit; NaT maps to the same sentinel.
+            ai = np.asarray(av, dtype="datetime64[ns]").view("int64")
+            bi = np.asarray(bv, dtype="datetime64[ns]").view("int64")
+            assert np.array_equal(ai, bi), f"{name}.{c}: timestamp mismatch"
         else:
             assert list(map(str, av)) == list(map(str, bv)), f"{name}.{c}: value mismatch"
 
