@@ -1142,6 +1142,34 @@ FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap join: every event paired with every
+    30-minute incident window (opened by each 'error' event of the same
+    user) that contains it — bucketed equi-join + exact refine, never a
+    per-key nested-loop (operators/interval_join.py)."""
+    from s2_geometry_library_java_spark.operators.interval_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pairs = interval_overlap_join(ev.select("event_id", "user_id", "ts"), iv)
+    return pairs.select("event_id", "interval_id")
+
+
+_Q_INTERVAL_JOIN_SQL = """
+WITH iv AS (SELECT user_id, event_id AS interval_id, ts AS start_ts,
+                   ts + INTERVAL 30 MINUTE AS end_ts
+            FROM events WHERE event_type = 'error')
+SELECT e.event_id, i.interval_id
+FROM events e JOIN iv i
+  ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+"""
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution time rollup (minute/hour/day) in
     one GROUPING SETS pass; value sums are fixed-point BIGINT micro-units
@@ -1831,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "trajectory_stats": q_trajectory_stats,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "sample_splits": q_sample_splits,
         "token_shards": q_token_shards,
@@ -1906,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "trajectory_stats": trajectory.trajectory_stats_sql(),
         "asof_join": _Q_ASOF_SQL,
+        "interval_join": _Q_INTERVAL_JOIN_SQL,
         "time_rollup": _time_rollup_oracle_sql(),
         "sample_splits": _sample_splits_sql(),
         "token_shards": _token_shards_sql(),
