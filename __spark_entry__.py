@@ -1255,6 +1255,21 @@ STREAM_TILE_LEVEL = 3
 STREAM_WINDOW_S = 60
 
 
+def _stream_points_input(spark: SparkSession) -> DataFrame:
+    """Bounded deterministic (ts, key) stream shared by the streaming
+    gates: ts is a pure function of key, so every golden oracle can
+    recompute the final state driver-side."""
+    indir = "/tmp/s2gate_stream_input"
+    if not os.path.exists(os.path.join(indir, "_SUCCESS")):
+        spark.range(STREAM_N_KEYS).select(
+            F.timestamp_seconds(
+                F.lit(STREAM_BASE_EPOCH) + (F.col("id") % F.lit(600))
+            ).alias("ts"),
+            F.col("id").alias("key"),
+        ).coalesce(4).write.mode("overwrite").parquet(indir)
+    return spark.readStream.schema("ts timestamp, key long").parquet(indir)
+
+
 def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, fully oracled: the watermarked streaming tile
     rollup (streaming/encode_stream.py) run to completion over a bounded
@@ -1268,15 +1283,7 @@ def q_stream_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from s2_geometry_library_java_spark.streaming.encode_stream import streaming_tile_counts
 
-    indir = "/tmp/s2gate_stream_input"
-    if not os.path.exists(os.path.join(indir, "_SUCCESS")):
-        spark.range(STREAM_N_KEYS).select(
-            F.timestamp_seconds(
-                F.lit(STREAM_BASE_EPOCH) + (F.col("id") % F.lit(600))
-            ).alias("ts"),
-            F.col("id").alias("key"),
-        ).coalesce(4).write.mode("overwrite").parquet(indir)
-    stream = spark.readStream.schema("ts timestamp, key long").parquet(indir)
+    stream = _stream_points_input(spark)
     agg = streaming_tile_counts(
         stream,
         tile_level=STREAM_TILE_LEVEL,
@@ -1320,6 +1327,61 @@ def _golden_stream_tile_sql() -> str:
         rows,
         "win_start, tile_id, n",
         casts={"win_start": "BIGINT", "tile_id": "BIGINT", "n": "BIGINT"},
+    )
+
+
+def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence (streaming/geofence_stream.py), fully oracled:
+    windowed per-fence hit counts over the bounded deterministic (ts, key)
+    stream with availableNow + complete mode, so the final state equals the
+    batch recompute pinned by the golden oracle."""
+    import uuid
+
+    from s2_geometry_library_java_spark.streaming.geofence_stream import streaming_geofence_counts
+
+    agg = streaming_geofence_counts(
+        _stream_points_input(spark),
+        NATIVE_LAYERS,
+        window=f"{STREAM_WINDOW_S} seconds",
+        watermark="120 seconds",
+    )
+    name = f"stream_geofence_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").cast("long").alias("win_start"),
+        F.col("polygon_id"),
+        F.col("n"),
+    )
+
+
+def _golden_stream_geofence_sql() -> str:
+    """Driver-side recompute of the final geofence state: identical geotag
+    arithmetic and membership formulas (Layer.contains_points), identical
+    epoch-aligned window floor — pinned as typed VALUES."""
+    import pandas as pd
+
+    keys = np.arange(STREAM_N_KEYS, dtype=np.int64)
+    lat = -90.0 + 180.0 * (((keys * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0)
+    lng = -180.0 + 360.0 * (((keys * 2246822519 + 1013904223) % 4294967296).astype(np.float64) / 4294967296.0)
+    win = ((STREAM_BASE_EPOCH + (keys % 600)) // STREAM_WINDOW_S) * STREAM_WINDOW_S
+    frames = []
+    for layer in NATIVE_LAYERS:
+        mask = layer.contains_points(lat, lng)
+        frames.append(pd.DataFrame({"win_start": win[mask], "polygon_id": layer.polygon_id}))
+    pdf = pd.concat(frames, ignore_index=True)
+    grp = pdf.groupby(["win_start", "polygon_id"], sort=True).size().reset_index(name="n")
+    rows = [(int(w), str(p), int(c)) for w, p, c in grp.itertuples(index=False, name=None)]
+    return _values_sql(
+        rows,
+        "win_start, polygon_id, n",
+        casts={"win_start": "BIGINT", "n": "BIGINT"},
     )
 
 
@@ -1865,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "corpus_prep": q_corpus_prep,
         "stream_tile_counts": q_stream_tile_counts,
+        "stream_geofence": q_stream_geofence,
         "stream_dedup": q_stream_dedup,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -1941,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "corpus_prep": _corpus_prep_sql(),
         "stream_tile_counts": _golden_stream_tile_sql(),
+        "stream_geofence": _golden_stream_geofence_sql(),
         "stream_dedup": _stream_dedup_sql(),
         "ann_cosine": _Q_ANN_COSINE_SQL,
         "ann_ivf": _Q_ANN_COSINE_SQL,
