@@ -433,6 +433,87 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOSAIC_N_IMAGES = 2000
+MOSAIC_TILE_LEVEL = 3
+
+
+def q_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality fusion in ONE plan (the pyspark x image x S2 axes
+    together): decode synthetic images through the batched fake codec,
+    verify PSNR, geotag each image via its phash anchor (FIXTURES.md F1),
+    Hilbert-encode, and roll the channel means up per level-3 S2 tile.
+    Per-tile channel sums are fixed-point BIGINT micro-units (order-
+    independent); min is order-independent for the psnr floor.  Oracled by
+    a pinned driver-side numpy recompute over the identical codec + kernel
+    code paths (_golden_tile_mosaic_sql)."""
+    from s2_geometry_library_java_spark.operators.images import image_stats
+    from s2_geometry_library_java_spark.plans.pipeline import encode_images
+    from s2_geometry_library_java_spark.sources.images import synthetic_images
+
+    stats = image_stats(
+        synthetic_images(spark, MOSAIC_N_IMAGES, partitions=8), passthrough=("phash",)
+    )
+    enc = encode_images(stats).withColumn(
+        "tile_id", parent_expr(F.col("cell_id"), MOSAIC_TILE_LEVEL)
+    )
+    return enc.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        # floor(x*1e6 + 0.5), NOT round(): Spark rounds HALF_UP and numpy
+        # HALF_EVEN, and channel means hit exact .5 micro-boundaries; the
+        # explicit floor form is the same float64 ops on both gate sides.
+        F.sum(F.floor(F.col("mean_r") * 1e6 + 0.5).cast("bigint")).alias("sum_r_micro"),
+        F.sum(F.floor(F.col("mean_g") * 1e6 + 0.5).cast("bigint")).alias("sum_g_micro"),
+        F.sum(F.floor(F.col("mean_b") * 1e6 + 0.5).cast("bigint")).alias("sum_b_micro"),
+        F.round(F.min("psnr"), 6).alias("min_psnr"),
+    )
+
+
+def _golden_tile_mosaic_sql() -> str:
+    """Driver-side recompute of the mosaic: same codec (image_stats_pandas),
+    same anchor derivation, same kernel parent — pinned as typed VALUES."""
+    from s2_geometry_library_java_spark.kernel import cellid as ck
+    from s2_geometry_library_java_spark.operators.images import image_stats_pandas
+    from s2_geometry_library_java_spark.sources.images import (
+        images_pandas,
+        phash_anchor_lat,
+        phash_anchor_lng,
+    )
+
+    st = image_stats_pandas(images_pandas(0, MOSAIC_N_IMAGES), passthrough=("phash",))
+    ph = st["phash"].to_numpy()
+    cells = ck.from_latlng_degrees(phash_anchor_lat(ph), phash_anchor_lng(ph))
+    st = st.assign(tile_id=ck.parent(cells, MOSAIC_TILE_LEVEL).view(np.int64))
+    for c in ("r", "g", "b"):
+        st[f"{c}_micro"] = np.floor(st[f"mean_{c}"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    grp = (
+        st.groupby("tile_id", sort=True)
+        .agg(
+            n_images=("tile_id", "size"),
+            sum_r_micro=("r_micro", "sum"),
+            sum_g_micro=("g_micro", "sum"),
+            sum_b_micro=("b_micro", "sum"),
+            min_psnr=("psnr", "min"),
+        )
+        .reset_index()
+    )
+    rows = [
+        (int(t), int(n), int(r), int(g), int(b), round(float(p), 6))
+        for t, n, r, g, b, p in grp.itertuples(index=False, name=None)
+    ]
+    return _values_sql(
+        rows,
+        "tile_id, n_images, sum_r_micro, sum_g_micro, sum_b_micro, min_psnr",
+        casts={
+            "tile_id": "BIGINT",
+            "n_images": "BIGINT",
+            "sum_r_micro": "BIGINT",
+            "sum_g_micro": "BIGINT",
+            "sum_b_micro": "BIGINT",
+            "min_psnr": "DOUBLE",
+        },
+    )
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing in the gate (the images pattern applied to
     the round-2 audio stub): synthesize 2000 PCM rows, decode through the
@@ -1895,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_in_no_layer": q_points_no_layer,
         "approx_distinct_cells": q_approx_distinct_cells,
         "image_stats": q_image_stats,
+        "tile_mosaic": q_tile_mosaic,
         "audio_stats": q_audio_stats,
         "video_frames": q_video_frames,
         "tile_manifest": q_tile_manifest,
@@ -1951,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_rollup": _golden_encode_rollup_sql(),
         "tile_manifest": _golden_tile_manifest_sql(),
         "image_stats": _golden_image_stats_sql(),
+        "tile_mosaic": _golden_tile_mosaic_sql(),
         "audio_stats": _golden_audio_stats_sql(),
         "video_frames": _golden_video_frames_sql(),
         "pip_join_rect": _pip_oracle(RECT_LAYERS),
