@@ -1160,6 +1160,36 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_profile(load_table(spark, sf_dir, "documents"))
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates (§2.7): exact p50/p90/p99 of event value per
+    type, plus the approx_percentile scale path pinned within 2% of the
+    exact anchor (sketch internals differ between engines, so the estimate
+    itself is bound-checked, not hash-compared — the approx_distinct
+    pattern).  At corpus scale the exact form is the oracle-only anchor;
+    approx_percentile (GK sketch, mergeable partials) is the plan you run."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.max("value").alias("_vmax"),
+        F.min("value").alias("_vmin"),
+    )
+    ok = F.abs(F.col("_a50") - F.col("p50")) <= 0.02 * (F.col("_vmax") - F.col("_vmin"))
+    return agg.select("event_type", "p50", "p90", "p99", ok.alias("approx_ok"))
+
+
+_Q_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style word-level repetition metrics (duplicate-word /
     top-word / duplicate-bigram fractions) — the corpus-quality filter
@@ -1999,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "text_profile": q_text_profile,
+        "value_percentiles": q_value_percentiles,
         "quality_repetition": q_quality_repetition,
         "decontaminate": q_decontaminate,
         "trajectory_stats": q_trajectory_stats,
@@ -2075,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "ngram_jaccard_capped": _ngram_jaccard_sql(NGJ_CAP_DF),
         "text_profile": _text_profile_sql(),
+        "value_percentiles": _Q_VALUE_PERCENTILES_SQL,
         "quality_repetition": _quality_repetition_sql(),
         "decontaminate": decontam.ngram_contamination_sql(
             f"doc_id % {DECONTAM_EVAL_MOD} <> 0", f"doc_id % {DECONTAM_EVAL_MOD} = 0"
