@@ -167,6 +167,32 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         timed("ann_cosine", lambda: ann.cosine_topk(emb, n_queries=8, k=10).count())
 
+        # time-series operators over the events table: as-of enrichment
+        # (tagged-union sort-fill) and the bucketed interval-overlap join
+        from s2_geometry_library_java_spark.operators.asof import asof_join
+        from s2_geometry_library_java_spark.operators.interval_join import interval_overlap_join
+
+        ev = load_table(spark, sf_dir, "events")
+        err = (
+            ev.filter(F.col("event_type") == "error")
+            .select("user_id", "ts", F.col("event_id").alias("err_id"))
+            .dropDuplicates(["user_id", "ts"])  # asof contract: unique (key, ts)
+        )
+        timed(
+            "asof_join",
+            lambda: asof_join(ev.select("event_id", "user_id", "ts"), err, "user_id").count(),
+        )
+        iv = err.select(
+            "user_id",
+            F.col("err_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+        timed(
+            "interval_join",
+            lambda: interval_overlap_join(ev.select("event_id", "user_id", "ts"), iv).count(),
+        )
+
         # the binary/multimodal path: decode + verify PSNR over a
         # MATERIALIZED with-bytes corpus — measures the codec path, not
         # row synthesis (generation is a one-time input cost).
