@@ -1756,6 +1756,49 @@ def _gate_cells_pdf():
     return pdf
 
 
+# layout_prune gate: the level-2 cell 0x1100000000000000 (face 0, near
+# lat 10 / lng 20) and its K14 descendant range — positive int64 on both
+# ends, so the signed BETWEEN pushed to parquet is order-correct.
+LAYOUT_N_FILES = 16
+LAYOUT_RANGE_MIN = 1152921504606846977
+LAYOUT_RANGE_MAX = 1297036692682702847
+
+
+def q_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-locality storage layout (operators/layout.py): write the
+    encoded fact points range-partitioned + sorted by cell_id, then scan
+    one level-2 cell's descendant range.  The BETWEEN reaches the parquet
+    reader as a pushed filter and only row groups whose footer [min, max]
+    intersects the range are touched (prunability pinned in
+    tests/test_layout.py); this gate pins that the pruned scan returns
+    EXACTLY the right rows (golden recompute via the kernel)."""
+    from s2_geometry_library_java_spark.operators.layout import (
+        read_cell_range,
+        write_hilbert_layout,
+    )
+
+    path = f"/tmp/s2gate_layout_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pts = with_cell_id(geotagged_points(spark, sf_dir)).select("point_id", "cell_id")
+        write_hilbert_layout(pts, path, n_files=LAYOUT_N_FILES)
+    hits = read_cell_range(spark, path, LAYOUT_RANGE_MIN, LAYOUT_RANGE_MAX)
+    return hits.select("point_id", "cell_id")
+
+
+def _golden_layout_prune_sql() -> str:
+    """Kernel recompute of the probe range's members over the gate points."""
+    pdf = _gate_cells_pdf()
+    cid = pdf["cell_id"].to_numpy()
+    mask = (cid >= LAYOUT_RANGE_MIN) & (cid <= LAYOUT_RANGE_MAX)
+    rows = [
+        (int(p), int(c))
+        for p, c in zip(pdf["point_id"].to_numpy()[mask], cid[mask])
+    ]
+    return _values_sql(
+        rows, "point_id, cell_id", casts={"point_id": "BIGINT", "cell_id": "BIGINT"}
+    )
+
+
 def _golden_encode_rollup_sql() -> str:
     import pandas as pd
 
@@ -2010,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "video_frames": q_video_frames,
         "tile_manifest": q_tile_manifest,
+        "layout_prune": q_layout_prune,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "covering_golden": q_covering_golden,
@@ -2063,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": _Q_CELL_ROLLUP_SQL,
         "encode_rollup": _golden_encode_rollup_sql(),
         "tile_manifest": _golden_tile_manifest_sql(),
+        "layout_prune": _golden_layout_prune_sql(),
         "image_stats": _golden_image_stats_sql(),
         "tile_mosaic": _golden_tile_mosaic_sql(),
         "audio_stats": _golden_audio_stats_sql(),
