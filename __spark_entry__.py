@@ -1756,6 +1756,58 @@ def _gate_cells_pdf():
     return pdf
 
 
+DENSITY_LEVEL = 4
+
+
+def q_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-smoothed grid density (K21 at scale): count points per
+    level-4 cell, then each populated cell smears its count onto itself and
+    its distinct K21 neighbors; smooth_n = the 3x3-neighborhood total.  The
+    9x explode runs on the AGGREGATED grid (|cells| rows), never the fact
+    table, so the smear costs two small shuffles regardless of corpus size."""
+    pts = with_cell_id(geotagged_points(spark, sf_dir))
+    c = pts.groupBy(parent_expr(F.col("cell_id"), DENSITY_LEVEL).alias("cell4")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    contrib = c.select(
+        F.explode(
+            F.concat(
+                F.array(F.col("cell4")),
+                F.array_distinct(s2_all_neighbors_udf(F.col("cell4"), F.lit(DENSITY_LEVEL))),
+            )
+        ).alias("tgt"),
+        "n",
+    )
+    smear = contrib.groupBy("tgt").agg(F.sum("n").alias("smooth_n"))
+    return c.join(smear, c.cell4 == smear.tgt).select(
+        F.col("cell4").alias("cell_id"), "n", "smooth_n"
+    )
+
+
+def _golden_density_smooth_sql() -> str:
+    """Kernel recompute of the smear: same counts, same K21 neighbor sets
+    (deduped per cell exactly like the array_distinct in the plan)."""
+    import pandas as pd
+
+    pdf = _gate_cells_pdf()
+    cells4 = ck.parent(pdf["cell_id"].to_numpy().view(np.uint64), DENSITY_LEVEL).view(np.int64)
+    counts = pd.Series(cells4).value_counts()
+    uniq = counts.index.to_numpy(dtype=np.int64)
+    rows_idx, nbrs = ck.get_all_neighbors(uniq.view(np.uint64), DENSITY_LEVEL)
+    smear: dict[int, int] = {}
+    for i, cell in enumerate(uniq):
+        n = int(counts[cell])
+        tgts = {int(cell)} | {int(v) for v in nbrs[rows_idx == i].view(np.int64)}
+        for t in tgts:
+            smear[t] = smear.get(t, 0) + n
+    rows = [(int(cell), int(counts[cell]), smear[int(cell)]) for cell in uniq]
+    return _values_sql(
+        rows,
+        "cell_id, n, smooth_n",
+        casts={"cell_id": "BIGINT", "n": "BIGINT", "smooth_n": "BIGINT"},
+    )
+
+
 # layout_prune gate: the level-2 cell 0x1100000000000000 (face 0, near
 # lat 10 / lng 20) and its K14 descendant range — positive int64 on both
 # ends, so the signed BETWEEN pushed to parquet is order-correct.
@@ -2054,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "tile_manifest": q_tile_manifest,
         "layout_prune": q_layout_prune,
+        "density_smooth": q_density_smooth,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "covering_golden": q_covering_golden,
@@ -2108,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_rollup": _golden_encode_rollup_sql(),
         "tile_manifest": _golden_tile_manifest_sql(),
         "layout_prune": _golden_layout_prune_sql(),
+        "density_smooth": _golden_density_smooth_sql(),
         "image_stats": _golden_image_stats_sql(),
         "tile_mosaic": _golden_tile_mosaic_sql(),
         "audio_stats": _golden_audio_stats_sql(),
