@@ -38,16 +38,29 @@ def asof_join(
     right_ts: str = "ts",
     payload_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: append to every left row the payload of the
-    latest right row with ``right.right_ts <= left.left_ts`` and the same
-    key (null payload when no such row exists).
+    """As-of join: append to every left row the payload of the nearest
+    right row on one side of it with the same key (null payload when no
+    such row exists).
+
+    ``direction="backward"`` (default) matches the latest right row with
+    ``right_ts <= left_ts``; ``"forward"`` matches the earliest right row
+    with ``right_ts >= left_ts`` (implemented as the backward fill over
+    the reversed ordering — same single shuffle).  ``tolerance_seconds``
+    additionally nulls out matches farther than the tolerance from the
+    left timestamp (pandas merge_asof semantics): the match itself is
+    still nearest-first, the tolerance only filters it (requires
+    timestamp-typed ts columns).
 
     CONTRACT: right must be unique per (key, right_ts) — pre-aggregate
     ties deterministically upstream, or the matched payload depends on
     sort arrival order.  A hot key is one window partition (linear scan,
     no blowup); salt upstream if one key carries the corpus.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key_col, right_ts)]
     rstruct = F.struct(
@@ -68,13 +81,25 @@ def asof_join(
         *(F.col(c).alias(f"__l_{c}") for c in left.columns),
     )
     # Right rows sort BEFORE left rows at equal ts, so an equal-timestamp
-    # right row is visible to the left row (ASOF >= semantics).
+    # right row is visible to the left row (ASOF >= / <= inclusive
+    # semantics).  Forward direction = the same preceding-fill over the
+    # time-reversed ordering.
+    ord_ts = F.col("__ord_ts").asc() if direction == "backward" else F.col("__ord_ts").desc()
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("__ord_ts").asc(), F.col("__is_left").asc())
+        .orderBy(ord_ts, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r2.unionByName(l2).withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ord_ts").cast("timestamp"))
+            - F.unix_micros(F.col("__m.__ts").cast("timestamp"))
+        )
+        filled = filled.withColumn(
+            "__m",
+            F.when(gap <= F.lit(int(tolerance_seconds * 1_000_000)), F.col("__m")),
+        )
     out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("__m.__ts").alias(f"{prefix}{right_ts}"))
     out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload_cols)

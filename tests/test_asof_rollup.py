@@ -81,3 +81,61 @@ def test_time_rollup_one_pass(spark):
     plan = _plan(time_rollup(ev))
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan  # grouping-sets expansion node
+
+
+def test_asof_forward_semantics(spark):
+    from s2_geometry_library_java_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(15)), (3, 1, _ts(25)), (4, 2, _ts(0))],
+        "row_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(20), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["row_id"]: r
+        for r in asof_join(left, right, "k", payload_cols=["v"], direction="forward").collect()
+    }
+    assert got[1]["asof_v"] == 1.0  # earliest >= 5 is ts=10
+    assert got[2]["asof_v"] == 2.0  # earliest >= 15 is ts=20
+    assert got[3]["asof_v"] is None  # nothing after 25
+    assert got[4]["asof_v"] is None  # key 2 empty
+
+
+def test_asof_forward_equal_ts_matches(spark):
+    from s2_geometry_library_java_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, _ts(10))], "row_id long, k long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "k long, ts timestamp, v double")
+    [row] = asof_join(left, right, "k", payload_cols=["v"], direction="forward").collect()
+    assert row["asof_v"] == 7.0
+
+
+def test_asof_tolerance_filters_far_matches(spark):
+    from s2_geometry_library_java_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(12)), (2, 1, _ts(100))], "row_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame([(1, _ts(10), 1.0)], "k long, ts timestamp, v double")
+    got = {
+        r["row_id"]: r
+        for r in asof_join(
+            left, right, "k", payload_cols=["v"], tolerance_seconds=5.0
+        ).collect()
+    }
+    assert got[1]["asof_v"] == 1.0  # 2 s gap, inside tolerance
+    assert got[2]["asof_v"] is None  # 90 s gap, filtered
+    assert got[2]["asof_ts"] is None
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    from s2_geometry_library_java_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, _ts(0))], "row_id long, k long, ts timestamp")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left.select("k", "ts"), "k", direction="sideways")
