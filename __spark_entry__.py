@@ -1756,6 +1756,68 @@ def _gate_cells_pdf():
     return pdf
 
 
+# snap_roads gate: three long fixture "roads" and a ~0.02 rad (~127 km)
+# snap radius.  Vertices via the test DSL; lines stay driver-side objects.
+SNAP_RADIUS_RAD = 0.02
+SNAP_LINES_DSL = {
+    "road_a": "-40:-120, -10:-60, 20:0, 50:60",
+    "road_b": "35:-10, 10:25, -15:60",
+    "road_c": "60:-170, 55:-120, 45:-70, 30:-30",
+}
+
+
+def _snap_lines():
+    from s2_geometry_library_java_spark.geometry.polyline import S2Polyline
+    from s2_geometry_library_java_spark.geometry.text_format import parse_vertices
+
+    return {k: S2Polyline(parse_vertices(v)) for k, v in SNAP_LINES_DSL.items()}
+
+
+def q_snap_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded snap-to-polyline (operators/snap.py): every fact point
+    within 0.02 rad of a fixture road, with the nearest road and the exact
+    P9 distance in nano-radians.  Broadcast candidate buckets from the
+    flood-fill covering + K21 ring; the fact side never shuffles."""
+    from s2_geometry_library_java_spark.operators.snap import snap_join
+
+    pts = with_cell_id(geotagged_points(spark, sf_dir))
+    return snap_join(pts, _snap_lines(), SNAP_RADIUS_RAD)
+
+
+def _golden_snap_roads_sql() -> str:
+    """Kernel recompute: exact P9 distance of every gate point to every
+    line, radius filter, (dist, line_id) argmin — no covering involved, so
+    the candidate generation's completeness is independently checked."""
+    from s2_geometry_library_java_spark.kernel import predicates as pr
+
+    pdf = _gate_cells_pdf()
+    x = ck.latlng_degrees_to_xyz(
+        pdf["lat"].to_numpy(np.float64), pdf["lng"].to_numpy(np.float64)
+    )
+    lines = _snap_lines()
+    max_nrad = int(np.floor(SNAP_RADIUS_RAD * 1e9 + 0.5))
+    best_d = np.full(len(pdf), np.iinfo(np.int64).max, dtype=np.int64)
+    best_l = np.full(len(pdf), "", dtype=object)
+    for lid in sorted(lines):
+        a, b = lines[lid].vertices[:-1], lines[lid].vertices[1:]
+        d = np.min(
+            np.stack([pr.edge_distance(x, a[k][None, :], b[k][None, :]) for k in range(len(a))]),
+            axis=0,
+        )
+        nrad = np.floor(d * 1e9 + 0.5).astype(np.int64)
+        better = nrad < best_d  # strict: ties keep the earlier (sorted) line id
+        best_d = np.where(better, nrad, best_d)
+        best_l = np.where(better, lid, best_l)
+    keep = best_d <= max_nrad
+    ids = pdf["point_id"].to_numpy()[keep]
+    rows = [
+        (int(p), str(l), int(dn)) for p, l, dn in zip(ids, best_l[keep], best_d[keep])
+    ]
+    return _values_sql(
+        rows, "point_id, line_id, dist_nrad", casts={"point_id": "BIGINT", "dist_nrad": "BIGINT"}
+    )
+
+
 DENSITY_LEVEL = 4
 
 
@@ -2107,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_manifest": q_tile_manifest,
         "layout_prune": q_layout_prune,
         "density_smooth": q_density_smooth,
+        "snap_roads": q_snap_roads,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "covering_golden": q_covering_golden,
@@ -2162,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_manifest": _golden_tile_manifest_sql(),
         "layout_prune": _golden_layout_prune_sql(),
         "density_smooth": _golden_density_smooth_sql(),
+        "snap_roads": _golden_snap_roads_sql(),
         "image_stats": _golden_image_stats_sql(),
         "tile_mosaic": _golden_tile_mosaic_sql(),
         "audio_stats": _golden_audio_stats_sql(),
