@@ -1818,6 +1818,60 @@ def _golden_snap_roads_sql() -> str:
     )
 
 
+# adaptive_tiles gate: split any cell holding >150 of the ~15k gate points,
+# between levels 1 and 8 — deep enough that several hot city-cells split
+# more than once while ocean cells stay coarse.
+AT_CAP = 150
+AT_MIN_LEVEL = 1
+AT_MAX_LEVEL = 8
+
+
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-balanced quadtree tiling (operators/adaptive.py): one fact
+    shuffle to the max-level grid, then level-wise rollup + hot-parent
+    broadcast joins entirely on the aggregated grid."""
+    from s2_geometry_library_java_spark.operators.adaptive import adaptive_tiles
+
+    pts = with_cell_id(geotagged_points(spark, sf_dir))
+    return adaptive_tiles(pts, AT_CAP, AT_MIN_LEVEL, AT_MAX_LEVEL)
+
+
+def _golden_adaptive_tiles_sql() -> str:
+    """Independent top-down recompute: recursive split walk from the
+    min-level cells, versus the plan's bottom-up level-join — same tiles
+    must fall out of both directions."""
+    pdf = _gate_cells_pdf()
+    grid = ck.parent(pdf["cell_id"].to_numpy().view(np.uint64), AT_MAX_LEVEL)
+    counts: dict[int, dict[int, int]] = {AT_MAX_LEVEL: {}}
+    for c in grid.view(np.int64):
+        counts[AT_MAX_LEVEL][int(c)] = counts[AT_MAX_LEVEL].get(int(c), 0) + 1
+    children: dict[int, dict[int, list[int]]] = {}
+    for lvl in range(AT_MAX_LEVEL - 1, AT_MIN_LEVEL - 1, -1):
+        counts[lvl], children[lvl] = {}, {}
+        kids = np.fromiter(counts[lvl + 1], dtype=np.int64)
+        pars = ck.parent(kids.view(np.uint64), lvl).view(np.int64)
+        for kid, par in zip(kids, pars):
+            counts[lvl][int(par)] = counts[lvl].get(int(par), 0) + counts[lvl + 1][int(kid)]
+            children[lvl].setdefault(int(par), []).append(int(kid))
+    rows: list[tuple] = []
+
+    def walk(cell: int, lvl: int) -> None:
+        n = counts[lvl][cell]
+        if n <= AT_CAP or lvl == AT_MAX_LEVEL:
+            rows.append((cell, lvl, n, n > AT_CAP))
+        else:
+            for kid in children[lvl][cell]:
+                walk(kid, lvl + 1)
+
+    for cell in sorted(counts[AT_MIN_LEVEL]):
+        walk(cell, AT_MIN_LEVEL)
+    return _values_sql(
+        rows,
+        "tile_id, level, n, overflow",
+        casts={"tile_id": "BIGINT", "level": "INTEGER", "n": "BIGINT"},
+    )
+
+
 DENSITY_LEVEL = 4
 
 
@@ -2170,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_prune": q_layout_prune,
         "density_smooth": q_density_smooth,
         "snap_roads": q_snap_roads,
+        "adaptive_tiles": q_adaptive_tiles,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "covering_golden": q_covering_golden,
@@ -2226,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_prune": _golden_layout_prune_sql(),
         "density_smooth": _golden_density_smooth_sql(),
         "snap_roads": _golden_snap_roads_sql(),
+        "adaptive_tiles": _golden_adaptive_tiles_sql(),
         "image_stats": _golden_image_stats_sql(),
         "tile_mosaic": _golden_tile_mosaic_sql(),
         "audio_stats": _golden_audio_stats_sql(),
