@@ -49,7 +49,7 @@ from s2_geometry_library_java_spark.functions.udfs import (
     s2_token,
 )
 from s2_geometry_library_java_spark.kernel import cellid as ck
-from s2_geometry_library_java_spark.operators import ann, decontam, dedup, text, trajectory
+from s2_geometry_library_java_spark.operators import ann, caps, decontam, dedup, text, trajectory
 from s2_geometry_library_java_spark.operators.covering import covering_rows
 from s2_geometry_library_java_spark.operators.knn import knn_join
 from s2_geometry_library_java_spark.operators.layers import Layer, cap_layer, loop_layer, polygon_layer, rect_layer
@@ -1227,6 +1227,13 @@ def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.trajectory_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_bounding_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounding cap (operators/caps.py): centroid axis from
+    order-independent fixed-point vector sums, radius = exact max angle
+    back to each point — the distributed S2Cap.addPoint/getCapBound."""
+    return caps.bounding_caps(load_table(spark, sf_dir, "events"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every event annotated with the latest
     same-or-earlier 'error' event of its user (tagged-union sort-fill —
@@ -2248,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "decontaminate": q_decontaminate,
         "trajectory_stats": q_trajectory_stats,
+        "bounding_caps": q_bounding_caps,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
@@ -2331,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id % {DECONTAM_EVAL_MOD} <> 0", f"doc_id % {DECONTAM_EVAL_MOD} = 0"
         ),
         "trajectory_stats": trajectory.trajectory_stats_sql(),
+        "bounding_caps": caps.bounding_caps_sql(),
         "asof_join": _Q_ASOF_SQL,
         "interval_join": _Q_INTERVAL_JOIN_SQL,
         "time_rollup": _time_rollup_oracle_sql(),
