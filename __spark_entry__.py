@@ -1227,6 +1227,81 @@ def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.trajectory_stats(load_table(spark, sf_dir, "events"))
 
 
+# simplify_traj gate: 0.8 rad tolerance — geotagged fixture trajectories are
+# globe-scattered, so a road-scale tolerance would keep everything; 0.8 rad
+# forces real elimination while every trace still keeps its endpoints.
+SIMPLIFY_TOL_RAD = 0.8
+
+
+def q_simplify_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical Douglas-Peucker per user trajectory (operators/simplify.py):
+    one groupBy(user) Arrow hop, vectorized P9 farthest-point scans inside."""
+    from s2_geometry_library_java_spark.operators.simplify import simplify_trajectories
+
+    return simplify_trajectories(load_table(spark, sf_dir, "events"), SIMPLIFY_TOL_RAD)
+
+
+def _golden_simplify_traj_sql() -> str:
+    """Independent recompute: plain recursive descent (the textbook DP shape)
+    instead of the operator's iterative stack — the gate pins the distributed
+    grouping/ordering plumbing AND that both control flows keep identical
+    vertex sets."""
+    import duckdb
+
+    from s2_geometry_library_java_spark.functions.native import (
+        GEOTAG_LAT_SQL,
+        GEOTAG_LNG_SQL,
+    )
+    from s2_geometry_library_java_spark.kernel import predicates as pr
+
+    con = duckdb.connect()
+    try:
+        pdf = con.execute(
+            f"""SELECT user_id, event_id,
+                       {GEOTAG_LAT_SQL.format(key='event_id')} AS lat,
+                       {GEOTAG_LNG_SQL.format(key='event_id')} AS lng
+                FROM read_parquet('{_GATE_SF}/events.parquet')
+                ORDER BY user_id, ts, event_id"""
+        ).df()
+    finally:
+        con.close()
+    rows: list[tuple] = []
+    for uid, grp in pdf.groupby("user_id", sort=True):
+        grp = grp.reset_index(drop=True)
+        xyz = ck.latlng_degrees_to_xyz(
+            grp["lat"].to_numpy(np.float64), grp["lng"].to_numpy(np.float64)
+        )
+        keep = np.zeros(len(grp), dtype=bool)
+        keep[0] = keep[-1] = True
+
+        def rec(i: int, j: int) -> None:
+            if j <= i + 1:
+                return
+            d = pr.edge_distance(xyz[i + 1 : j], xyz[i][None, :], xyz[j][None, :])
+            k = i + 1 + int(np.argmax(d))
+            if d[k - i - 1] > SIMPLIFY_TOL_RAD:
+                keep[k] = True
+                rec(i, k)
+                rec(k, j)
+
+        rec(0, len(grp) - 1)
+        for seq in np.nonzero(keep)[0]:
+            rows.append(
+                (
+                    int(uid),
+                    int(seq),
+                    int(grp["event_id"].iloc[seq]),
+                    float(grp["lat"].iloc[seq]),
+                    float(grp["lng"].iloc[seq]),
+                )
+            )
+    return _values_sql(
+        rows,
+        "user_id, seq, event_id, lat, lng",
+        casts={"user_id": "BIGINT", "seq": "BIGINT", "event_id": "BIGINT"},
+    )
+
+
 def q_bounding_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user bounding cap (operators/caps.py): centroid axis from
     order-independent fixed-point vector sums, radius = exact max angle
@@ -2256,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "trajectory_stats": q_trajectory_stats,
         "bounding_caps": q_bounding_caps,
+        "simplify_traj": q_simplify_traj,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
@@ -2340,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "trajectory_stats": trajectory.trajectory_stats_sql(),
         "bounding_caps": caps.bounding_caps_sql(),
+        "simplify_traj": _golden_simplify_traj_sql(),
         "asof_join": _Q_ASOF_SQL,
         "interval_join": _Q_INTERVAL_JOIN_SQL,
         "time_rollup": _time_rollup_oracle_sql(),
