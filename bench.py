@@ -159,6 +159,20 @@ def main() -> None:
         qdf = geotagged_queries(spark, sf_dir, limit=8)
         timed("knn", lambda: knn_join(enc, qdf, 10, n_points=n_points).count())
 
+        # snap-to-polyline over the full fact table (broadcast candidate
+        # buckets; the fact side never shuffles) and the skew-balanced
+        # adaptive tiling (one fact pass to the checkpointed grid)
+        from __spark_entry__ import SNAP_RADIUS_RAD, _snap_lines
+        from s2_geometry_library_java_spark.operators.adaptive import adaptive_tiles
+        from s2_geometry_library_java_spark.operators.snap import snap_join
+
+        lines = _snap_lines()
+        timed("snap_roads", lambda: snap_join(enc, lines, SNAP_RADIUS_RAD).count())
+        timed(
+            "adaptive_tiles",
+            lambda: adaptive_tiles(enc, cap=max(150, n_points // 100), min_level=1, max_level=10).count(),
+        )
+
         docs = load_table(spark, sf_dir, "documents")
         timed("minhash_pairs", lambda: dedup.minhash_neardup_pairs(docs, threshold=0.35).count())
         timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.35).count())
@@ -192,6 +206,13 @@ def main() -> None:
             "interval_join",
             lambda: interval_overlap_join(ev.select("event_id", "user_id", "ts"), iv).count(),
         )
+
+        # geometric aggregation + compaction over the events trajectories
+        from s2_geometry_library_java_spark.operators.caps import bounding_caps
+        from s2_geometry_library_java_spark.operators.simplify import simplify_trajectories
+
+        timed("bounding_caps", lambda: bounding_caps(ev).count())
+        timed("simplify_traj", lambda: simplify_trajectories(ev, 0.8).count())
 
         # the binary/multimodal path: decode + verify PSNR over a
         # MATERIALIZED with-bytes corpus — measures the codec path, not
