@@ -1227,6 +1227,52 @@ def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.trajectory_stats(load_table(spark, sf_dir, "events"))
 
 
+# geo_neardup gate: both-axes near-dup (spatial radius AND phash Hamming).
+# The oracle is a TRUE brute all-pairs self-join in DuckDB, so the gate
+# subsets to point_id % 3 == 0 to keep the oracle O((n/3)^2) at sf0.01.
+GEO_NEARDUP_RADIUS = 0.03
+GEO_NEARDUP_HAMMING = 4
+GEO_NEARDUP_MOD = 3
+_PHASH_SQL = "((point_id * 40503) % 65536)"  # 16-bit, BIGINT-exact in both engines
+
+
+def q_geo_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially-blocked perceptual near-dup pairs (operators/geodedup.py):
+    bucket join at the radius-derived level + K21 one-ring, native
+    haversine + bit_count refine — no all-pairs anywhere."""
+    from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
+
+    pts = (
+        with_cell_id(geotagged_points(spark, sf_dir))
+        .filter(F.col("point_id") % GEO_NEARDUP_MOD == 0)
+        .withColumn("phash", (F.col("point_id") * F.lit(40503)) % F.lit(65536))
+    )
+    return geo_neardup_pairs(pts, GEO_NEARDUP_RADIUS, GEO_NEARDUP_HAMMING)
+
+
+def _oracle_geo_neardup_sql() -> str:
+    """Brute all-pairs recompute: every candidate-generation decision in the
+    plan (blocking level, neighbor ring, pair dedup) is independently checked
+    because the oracle never blocks at all."""
+    from s2_geometry_library_java_spark.functions.native import haversine_sql
+
+    hav = haversine_sql("a.lat", "a.lng", "b.lat", "b.lng")
+    return f"""
+WITH pts AS (
+  SELECT point_id, lat, lng, {_PHASH_SQL} AS phash
+  FROM ({GEOTAG_POINTS_SQL}) WHERE point_id % {GEO_NEARDUP_MOD} = 0
+), pairs AS (
+  SELECT a.point_id AS id_lo, b.point_id AS id_hi,
+         {hav} AS dist,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+  FROM pts a JOIN pts b ON a.point_id < b.point_id
+)
+SELECT id_lo, id_hi, CAST(round(dist * 1e9) AS BIGINT) AS dist_nrad, hamming
+FROM pairs
+WHERE dist <= {GEO_NEARDUP_RADIUS!r} AND hamming <= {GEO_NEARDUP_HAMMING}
+"""
+
+
 # simplify_traj gate: 0.8 rad tolerance — geotagged fixture trajectories are
 # globe-scattered, so a road-scale tolerance would keep everything; 0.8 rad
 # forces real elimination while every trace still keeps its endpoints.
@@ -2332,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": q_trajectory_stats,
         "bounding_caps": q_bounding_caps,
         "simplify_traj": q_simplify_traj,
+        "geo_neardup": q_geo_neardup,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
@@ -2417,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_stats": trajectory.trajectory_stats_sql(),
         "bounding_caps": caps.bounding_caps_sql(),
         "simplify_traj": _golden_simplify_traj_sql(),
+        "geo_neardup": _oracle_geo_neardup_sql(),
         "asof_join": _Q_ASOF_SQL,
         "interval_join": _Q_INTERVAL_JOIN_SQL,
         "time_rollup": _time_rollup_oracle_sql(),
