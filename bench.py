@@ -168,6 +168,12 @@ def main() -> None:
 
         lines = _snap_lines()
         timed("snap_roads", lambda: snap_join(enc, lines, SNAP_RADIUS_RAD).count())
+
+        # both-axes near-dup (spatial bucket blocking + phash Hamming refine)
+        from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
+
+        tagged = enc.withColumn("phash", (F.col("point_id") * F.lit(40503)) % F.lit(65536))
+        timed("geo_neardup", lambda: geo_neardup_pairs(tagged, 0.01, 4).count())
         timed(
             "adaptive_tiles",
             lambda: adaptive_tiles(enc, cap=max(150, n_points // 100), min_level=1, max_level=10).count(),

@@ -13,14 +13,14 @@ Scale shape (the 100-TB plan):
   (`S2Projections.java` metrics), so two points within the radius land
   in the same level-L cell or K21-adjacent cells (`S2CellId.java:640-682`)
   — the same one-ring completeness proof as the snap join.
-- LEFT side keys by its own bucket (native parent() bit op, no explode);
-  RIGHT side explodes to bucket + 8 neighbors (9x on the smaller
-  candidate stream only).  The equi-join is a plain shuffled hash join
-  on the bucket, so co-located pairs meet without any all-pairs scan.
-- A pair can meet through up to 2 shared buckets -> one distinct on the
-  canonical (id_lo, id_hi) pair.
-- The refine (haversine + bit_count(xor)) is 100% native codegen —
-  no Python anywhere.
+- The K21 ring is computed on the DISTINCT-bucket grid, never the fact
+  rows (the density-smooth discipline): the only Python hop touches
+  <= min(n, 6*4^L) grid cells, and the ring map joins back natively
+  (broadcast while it fits, shuffled equi-join above that).
+- Each fact side shuffles once on the bucket key; a pair meets EXACTLY
+  once because the probe ring is distinct and the match key is the
+  right point's own (unique) bucket — no pair-dedup shuffle needed.
+- The refine (haversine + bit_count(xor)) is 100% native codegen.
 
 Pair explosion is bounded by density: a bucket holding k co-located
 points emits k^2/2 candidates; radius chooses L, so cap density by
@@ -40,6 +40,11 @@ from s2_geometry_library_java_spark.functions.native import (
 )
 from s2_geometry_library_java_spark.functions.udfs import s2_all_neighbors_udf
 from s2_geometry_library_java_spark.kernel import metrics
+from s2_geometry_library_java_spark.operators.dedup import spread
+
+# ring-map rows (9 per populated bucket) below this broadcast; above it the
+# candidate join degrades gracefully to a shuffled equi-join on the bucket
+RING_BROADCAST_MAX = 2_000_000
 
 
 def geo_block_level(radius_rad: float) -> int:
@@ -61,6 +66,10 @@ def geo_neardup_pairs(
     ``radius_rad`` on the sphere AND ``max_hamming`` phash bits.
     Distance reported in fixed-point nano-radians."""
     level = geo_block_level(radius_rad)
+    # broadcast-only joins inherit the SCAN's parallelism: spread() guards
+    # the compacted-small-input case (one row group -> one core) and no-ops
+    # on a well-partitioned corpus
+    points = spread(points)
     bkt = parent_expr(F.col(cell_col), level)
     left = points.select(
         F.col(id_col).alias("id_l"),
@@ -74,15 +83,31 @@ def geo_neardup_pairs(
         F.col(lat_col).alias("lat_r"),
         F.col(lng_col).alias("lng_r"),
         F.col(hash_col).alias("h_r"),
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(bkt),
-                    s2_all_neighbors_udf(bkt, F.lit(level)),
-                )
-            )
-        ).alias("bucket"),
+        bkt.alias("probe"),
     )
+    # K21 one-ring over the distinct-bucket GRID only (one Python hop on
+    # <= 6*4^L rows); ring is distinct per bucket, so downstream pairs are
+    # emitted exactly once — no dedup pass
+    ring = (
+        left.select("bucket")
+        .distinct()
+        .select(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.concat(
+                        F.array(F.col("bucket")),
+                        s2_all_neighbors_udf(F.col("bucket"), F.lit(level)),
+                    )
+                )
+            ).alias("probe"),
+        )
+    )
+    # broadcastability decided from the data-independent grid bound
+    # (9 ring rows per possible level-L cell) — no extra count job, and a
+    # conservative fall-through to the shuffled equi-join at deep levels
+    if 9 * 6 * 4**level <= RING_BROADCAST_MAX:
+        ring = F.broadcast(ring)
     dist = haversine_expr(
         F.col("lat_l"), F.col("lng_l"), F.col("lat_r"), F.col("lng_r")
     )
@@ -91,7 +116,8 @@ def geo_neardup_pairs(
     # true distance; rounding first would admit pairs epsilon past the
     # blocking guarantee); nano-radian fixed point is output-only
     return (
-        left.join(right, "bucket")
+        left.join(ring, "bucket")
+        .join(right, "probe")
         .filter(F.col("id_l") < F.col("id_r"))
         .filter((dist <= F.lit(radius_rad)) & (ham <= max_hamming))
         .select(
@@ -100,5 +126,4 @@ def geo_neardup_pairs(
             F.round(dist * F.lit(1e9)).cast("bigint").alias("dist_nrad"),
             ham.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_lo", "id_hi"])
     )
