@@ -383,6 +383,77 @@ def _pip_exists_oracle(layers: list[Layer], negate: bool) -> str:
     return f"WITH pts AS ({GEOTAG_POINTS_SQL}) SELECT point_id, lat, lng FROM pts WHERE {pred}"
 
 
+# Word -> layer gazetteer for the caption-extracted-regions leg: 8 of the 10
+# synthetic caption vocabulary words name a layer; the other 2 are noise the
+# inner dimension join must drop.
+CAPTION_GAZETTEER = {
+    "tile": "r_eu",
+    "polygon": "r_wrap",
+    "sphere": "r_band",
+    "cell": "c_nyc",
+    "hilbert": "c_spole",
+    "face": "c_tokyo",
+    "cover": "l_tri",
+    "join": "p_hole",
+}
+
+
+def q_caption_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-extracted regions (the north star's second geotag leg,
+    operators/captions.py): build the synthetic caption grammar natively
+    over the geotagged points, parse the mention words back out
+    (split + posexplode, zero Python), resolve them through the broadcast
+    word->layer gazetteer, and validate each candidate with the anchor
+    containment predicate (native CASE chain for rect/cap, parity kernel
+    for loop/polygon).  Row-level output — the plan is shuffle-free."""
+    from s2_geometry_library_java_spark.operators.captions import (
+        CAPTION_VOCAB,
+        caption_region_join,
+    )
+
+    pts = geotagged_points(spark, sf_dir)
+    vocab = F.array(*[F.lit(w) for w in CAPTION_VOCAB])
+    pid = F.col("point_id")
+    cap = F.concat_ws(
+        " ",
+        F.lit("caption"),
+        F.lpad(pid.cast("string"), 10, "0"),
+        F.element_at(vocab, (F.pmod(pid, F.lit(10)) + F.lit(1)).cast("int")),
+        F.element_at(vocab, (F.pmod(F.floor(pid / 10), F.lit(10)) + F.lit(1)).cast("int")),
+    )
+    imgs = pts.select(pid.alias("image_id"), cap.alias("caption"), "lat", "lng")
+    m = caption_region_join(imgs, ALL_LAYERS, CAPTION_GAZETTEER)
+    return m.select(F.col("image_id").alias("point_id"), "slot", "word", "polygon_id", "inside")
+
+
+def _caption_regions_sql() -> str:
+    from s2_geometry_library_java_spark.operators.captions import CAPTION_VOCAB
+
+    vocab = "[" + ", ".join(f"'{w}'" for w in CAPTION_VOCAB) + "]"
+    gaz = ", ".join(f"('{w}', '{p}')" for w, p in sorted(CAPTION_GAZETTEER.items()))
+    arms = " ".join(
+        f"WHEN '{l.polygon_id}' THEN ({l.sql_predicate('lat', 'lng')})"
+        for l in ALL_LAYERS
+        if l.polygon_id in set(CAPTION_GAZETTEER.values())
+    )
+    return f"""
+WITH pts AS ({GEOTAG_POINTS_SQL}),
+cap AS (SELECT point_id, lat, lng,
+        concat('caption ', lpad(CAST(point_id AS VARCHAR), 10, '0'), ' ',
+               ({vocab})[CAST(point_id % 10 AS INT) + 1], ' ',
+               ({vocab})[CAST((point_id // 10) % 10 AS INT) + 1]) AS caption
+        FROM pts),
+tok AS (SELECT point_id, lat, lng, string_split(caption, ' ') AS t FROM cap),
+men AS (SELECT point_id, lat, lng, CAST(0 AS INT) AS slot, t[3] AS word FROM tok
+        UNION ALL
+        SELECT point_id, lat, lng, CAST(1 AS INT) AS slot, t[4] AS word FROM tok),
+gaz(word, polygon_id) AS (VALUES {gaz})
+SELECT m.point_id, m.slot, m.word, g.polygon_id,
+       CASE g.polygon_id {arms} END AS inside
+FROM men m JOIN gaz g USING (word)
+"""
+
+
 def q_approx_distinct_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate (§2.7): HyperLogLog++ distinct level-7 cells per
     face next to the exact count; the oracled claim is exactness of the exact
@@ -2343,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": q_pip_salted,
         "points_in_any_layer": q_points_any_layer,
         "points_in_no_layer": q_points_no_layer,
+        "caption_regions": q_caption_regions,
         "approx_distinct_cells": q_approx_distinct_cells,
         "image_stats": q_image_stats,
         "tile_mosaic": q_tile_mosaic,
@@ -2426,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),
         "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
+        "caption_regions": _caption_regions_sql(),
         "approx_distinct_cells": _Q_APPROX_DISTINCT_SQL,
         "knn": _Q_KNN_SQL,
         "radius_join": _Q_RADIUS_SQL,

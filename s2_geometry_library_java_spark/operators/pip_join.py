@@ -179,33 +179,26 @@ def stab_candidates(
     return pts.join(F.broadcast(seg_df), "_seg", "inner").drop("_seg")
 
 
-def refine_candidates(
-    candidates: DataFrame,
+def membership_expr(
     layers: list[Layer],
     lat_col: str = "lat",
     lng_col: str = "lng",
-) -> DataFrame:
-    """Exact membership filter on non-interior candidates (boundary cells).
+    seed: Column | None = None,
+) -> Column:
+    """Boolean Column: does the point at (lat, lng) lie inside the layer
+    named by the row's ``polygon_id``?
 
-    Single-pass: one boolean predicate combining the native rect/cap tests
+    Single-pass: one predicate combining the native rect/cap tests
     (codegen'd CASE chain) with one vectorized parity-kernel pandas UDF for
     loop/polygon layers — the source is scanned exactly once regardless of
-    the layer mix (no union of per-kind branches).
-
-    Measured dead end (round 3, do not re-try without new evidence): fusing
-    a per-POINT kernel-membership bitmask into the pre-join encode
-    projection (eliminating this hop entirely; candidates then refine in
-    pure codegen) LOST an interleaved A/B at the 8M-row bench — min 4.32 s
-    vs 3.71 s, median 5.09 vs 4.02.  The bitmask UDF widens the hot encode
-    hop's Arrow input from 8 B (phash) to 24 B (+lat,lng) on every fact
-    row, while this hop only carries the candidate subset (~0.6x rows
-    here); per-candidate refine wins whenever match-rate x refine-cols <
-    encode-widening x fact-rows."""
+    the layer mix (no union of per-kind branches).  ``seed`` is an optional
+    already-decided-true Column (e.g. interior-covering-cell membership);
+    rows where it holds skip both the CASE chain and the parity sweep."""
     native = [l for l in layers if l.native_predicate(F.col(lat_col), F.col(lng_col)) is not None]
     native_ids = {l.polygon_id for l in native}
     kernel_layers = [l for l in layers if l.polygon_id not in native_ids]
 
-    cond: Column = F.col("is_interior")
+    cond: Column = seed if seed is not None else F.lit(False)
     if native:
         pred: Column = F.lit(False)
         for layer in native:
@@ -248,7 +241,30 @@ def refine_candidates(
             F.col("polygon_id"), F.col(lat_col), F.col(lng_col), cond
         )
 
-    return candidates.filter(cond)
+    return cond
+
+
+def refine_candidates(
+    candidates: DataFrame,
+    layers: list[Layer],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Exact membership filter on non-interior candidates (boundary cells):
+    ``membership_expr`` seeded with the interior-covering-cell flag.
+
+    Measured dead end (round 3, do not re-try without new evidence): fusing
+    a per-POINT kernel-membership bitmask into the pre-join encode
+    projection (eliminating this hop entirely; candidates then refine in
+    pure codegen) LOST an interleaved A/B at the 8M-row bench — min 4.32 s
+    vs 3.71 s, median 5.09 vs 4.02.  The bitmask UDF widens the hot encode
+    hop's Arrow input from 8 B (phash) to 24 B (+lat,lng) on every fact
+    row, while this hop only carries the candidate subset (~0.6x rows
+    here); per-candidate refine wins whenever match-rate x refine-cols <
+    encode-widening x fact-rows."""
+    return candidates.filter(
+        membership_expr(layers, lat_col, lng_col, seed=F.col("is_interior"))
+    )
 
 
 def pip_semi_join(
