@@ -318,6 +318,23 @@ def main() -> None:
             "image_id", "caption", "phash"
         ).write.mode("overwrite").parquet(img_dir)
 
+    # the north star's second geotag leg at fact scale: caption parse ->
+    # broadcast gazetteer -> anchor-containment CASE, rolled up per layer.
+    # Shuffle-free until the tiny rollup; scans (caption, phash) only.
+    from __spark_entry__ import CAPTION_GAZETTEER
+    from s2_geometry_library_java_spark.operators.captions import (
+        caption_region_counts,
+        caption_region_join,
+    )
+
+    def caption_job() -> int:
+        imgs = spark.read.parquet(img_dir)
+        enc_imgs = encode_images(imgs.select("image_id", "caption", "phash"))
+        m = caption_region_join(enc_imgs, ALL_LAYERS, CAPTION_GAZETTEER)
+        return caption_region_counts(m).count()
+
+    timed("caption_regions", caption_job)  # timed() warm-runs once internally
+
     def e2e_job() -> int:
         # The manifest needs only (cell_id, polygon_id): project to phash and
         # let Catalyst prune image_id/caption at the scan — carrying a dead
