@@ -127,9 +127,19 @@ def test_row_level_plan_is_shuffle_free_broadcast(spark, layers, gazetteer):
     )
     out = caption_region_join(df, layers, gazetteer)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # tiny gazetteer inlines as a literal map: NO join in the plan at all
+    assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan  # zero fact shuffle
-    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan  # parity kernel is Arrow-batched
     # mention fan-out is exactly 2x mapped fraction: 8/10 words mapped
     assert out.count() == n * 2 * 8 // 10
+
+    # a big gazetteer (beyond the inline bound) takes the broadcast join
+    big = dict(gazetteer)
+    big.update({f"w{i:03d}": "r_eu" for i in range(100)})
+    out_big = caption_region_join(df, layers, big)
+    plan_big = out_big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_big
+    assert "SortMergeJoin" not in plan_big
+    assert "Exchange hashpartitioning" not in plan_big
+    assert out_big.count() == out.count()  # the filler words never occur
