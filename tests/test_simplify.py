@@ -75,4 +75,17 @@ def test_single_shuffle_plan(spark, traces):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # batched traces, not one pandas hop per trace
+    assert "Sort" in plan  # (user, ts, key) within partitions
+
+
+def test_batch_straddle_stitching(spark, traces):
+    """A trace split across Arrow batches must produce identical output:
+    force 7-row batches (traces are ~100 rows) and compare to the default."""
+    want = sorted(map(tuple, simplify_trajectories(traces, TOL).collect()))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = sorted(map(tuple, simplify_trajectories(traces, TOL).collect()))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert got == want
