@@ -190,6 +190,9 @@ def main() -> None:
         extras["n_images"] = N_IMAGES
         extras["manifest_rows"] = man_rows
 
+        if e2e_only:
+            return  # scaling-campaign legs time ONLY the headline job
+
         # the north star's second geotag leg at fact scale: caption parse ->
         # broadcast gazetteer -> anchor-containment CASE, rolled up per layer.
         # Shuffle-free until the tiny rollup; scans (caption, phash) only.
