@@ -95,7 +95,12 @@ def main() -> None:
     # (16.1s vs 17.6s — the 2-deep python pipelining already fills the
     # cores and extra tasks just add scheduling).  A real cluster tunes the
     # same knob.
-    tasks_per_core = 2 if cpus <= 8 else 1
+    # <=8 cores: 2 tasks/core (overlap each task's JVM scan with the
+    # neighbor's Python stage).  32 cores: ~4/3 tasks/core — exactly
+    # 1/core convoys on stragglers (interleaved fresh-JVM A/B at 128M:
+    # 43 splits 12.9-13.7s vs 32 splits 18-25s), while 4/core drowns in
+    # scheduling waves (128 splits at 8M: 3.9s vs 2.4s at 32-43).
+    tasks_per_core = 2 if cpus <= 8 else 4 / 3
     img_dir_pre = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
     split_bytes = 16 * 1024 * 1024
     if os.path.isdir(img_dir_pre):
@@ -114,7 +119,7 @@ def main() -> None:
             # tasks_per_core x cpus at every corpus size.
             open_cost = 4 * 1024 * 1024
             total = sum(sizes) + open_cost * len(sizes)
-            split_bytes = max(1 << 20, total // (tasks_per_core * cpus))
+            split_bytes = max(1 << 20, int(total / (tasks_per_core * cpus)))
     extras_pre: dict = {}
     if (
         os.environ.get("BENCH_ONLY_E2E", "") != "1"
