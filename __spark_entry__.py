@@ -2398,57 +2398,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, ordered for the driver's CORRECTNESS capture window.
+
+    The driver records the first 50 entries (dict order) in CORRECTNESS_r{N}.json.
+    Round-4 ordering rule (VERDICT round 3, "Next round" #1): entries that have
+    never had a driver row lead the dict; long-stable queries whose operator
+    coverage heavily overlaps in-window entries (cellid bit ops vs sql_api,
+    pip rect/cap vs poly/range/stab/salted, sig queries vs pair queries) rotate
+    to positions 51-70 — they remain green in CORRECTNESS_r03.json and in
+    scripts/check_driver_contract.py, which runs the identical oracle over ALL
+    entries regardless of position.
+    """
     return {
-        "cellid_bitops": q_cellid_bitops,
-        "cellid_token": q_cellid_token,
-        "sql_api": q_sql_api,
-        "distinct_cells": q_distinct_cells,
-        "cell_rollup": q_cell_rollup,
-        "encode_rollup": q_encode_rollup,
-        "pip_join_rect": _pip_query(RECT_LAYERS),
-        "pip_join_cap": _pip_query(CAP_LAYERS),
-        "pip_join_poly": _pip_query(POLY_LAYERS),
-        "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
-        "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
-        "pip_counts": q_pip_counts,
-        "pip_join_salted": q_pip_salted,
-        "points_in_any_layer": q_points_any_layer,
-        "points_in_no_layer": q_points_no_layer,
-        "caption_regions": q_caption_regions,
-        "approx_distinct_cells": q_approx_distinct_cells,
-        "image_stats": q_image_stats,
-        "tile_mosaic": q_tile_mosaic,
-        "audio_stats": q_audio_stats,
-        "video_frames": q_video_frames,
-        "tile_manifest": q_tile_manifest,
-        "layout_prune": q_layout_prune,
-        "density_smooth": q_density_smooth,
-        "snap_roads": q_snap_roads,
-        "adaptive_tiles": q_adaptive_tiles,
-        "knn": q_knn,
-        "radius_join": q_radius_join,
-        "covering_golden": q_covering_golden,
-        "cell_neighbors": q_cell_neighbors,
-        "loop_area_centroid": q_loop_area_centroid,
-        "polyline_ops": q_polyline_ops,
-        "edge_crossings": q_edge_crossings,
-        "cellunion_setops": q_cellunion_setops,
-        "metric_levels": q_metric_levels,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sigs": q_minhash_sigs,
-        "minhash_pairs": q_minhash_pairs,
-        "neardup_clusters": q_neardup_clusters,
-        "neardup_collapse": q_neardup_collapse,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "text_profile": q_text_profile,
-        "value_percentiles": q_value_percentiles,
-        "quality_repetition": q_quality_repetition,
-        "decontaminate": q_decontaminate,
-        "trajectory_stats": q_trajectory_stats,
-        "bounding_caps": q_bounding_caps,
+        # --- never driver-certified before round 4: keep inside the window ---
         "simplify_traj": q_simplify_traj,
         "geo_neardup": q_geo_neardup,
         "asof_join": q_asof_join,
@@ -2469,6 +2431,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_rings": q_boundary_rings,
         "polygon_boolops": q_polygon_boolops,
         "polygon_relations": q_polygon_relations,
+        # --- r3-green entries kept in-window (one per operator family) ---
+        "sql_api": q_sql_api,
+        "encode_rollup": q_encode_rollup,
+        "pip_join_poly": _pip_query(POLY_LAYERS),
+        "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
+        "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
+        "pip_join_salted": q_pip_salted,
+        "caption_regions": q_caption_regions,
+        "image_stats": q_image_stats,
+        "tile_mosaic": q_tile_mosaic,
+        "audio_stats": q_audio_stats,
+        "video_frames": q_video_frames,
+        "tile_manifest": q_tile_manifest,
+        "layout_prune": q_layout_prune,
+        "density_smooth": q_density_smooth,
+        "snap_roads": q_snap_roads,
+        "adaptive_tiles": q_adaptive_tiles,
+        "knn": q_knn,
+        "radius_join": q_radius_join,
+        "covering_golden": q_covering_golden,
+        "loop_area_centroid": q_loop_area_centroid,
+        "edge_crossings": q_edge_crossings,
+        "cellunion_setops": q_cellunion_setops,
+        "minhash_pairs": q_minhash_pairs,
+        "neardup_collapse": q_neardup_collapse,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_repetition": q_quality_repetition,
+        "decontaminate": q_decontaminate,
+        "trajectory_stats": q_trajectory_stats,
+        "bounding_caps": q_bounding_caps,
+        # --- rotated behind the window (r3-green; coverage overlaps above) ---
+        "cellid_bitops": q_cellid_bitops,
+        "cellid_token": q_cellid_token,
+        "distinct_cells": q_distinct_cells,
+        "cell_rollup": q_cell_rollup,
+        "pip_join_rect": _pip_query(RECT_LAYERS),
+        "pip_join_cap": _pip_query(CAP_LAYERS),
+        "pip_counts": q_pip_counts,
+        "points_in_any_layer": q_points_any_layer,
+        "points_in_no_layer": q_points_no_layer,
+        "approx_distinct_cells": q_approx_distinct_cells,
+        "minhash_sigs": q_minhash_sigs,
+        "neardup_clusters": q_neardup_clusters,
+        "simhash": q_simhash,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "text_profile": q_text_profile,
+        "value_percentiles": q_value_percentiles,
+        "metric_levels": q_metric_levels,
+        "cell_neighbors": q_cell_neighbors,
+        "polyline_ops": q_polyline_ops,
+        "dedup_exact": q_dedup_exact,
     }
 
 
