@@ -264,7 +264,7 @@ def main() -> None:
         from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
 
         tagged = enc.withColumn("phash", (F.col("point_id") * F.lit(40503)) % F.lit(65536))
-        timed("geo_neardup", lambda: geo_neardup_pairs(tagged, 0.01, 4).count())
+        timed("geo_neardup", lambda: geo_neardup_pairs(tagged, 0.01, 4, n_rows=n_points).count())
         timed(
             "adaptive_tiles",
             lambda: adaptive_tiles(enc, cap=max(150, n_points // 100), min_level=1, max_level=10).count(),

@@ -86,19 +86,56 @@ _LNG_MULT = 2246822519
 _LNG_ADD = 1013904223
 _TWO32 = 4294967296
 
+# The hash is (key * MULT [+ ADD]) mod 2^32, but a bare BIGINT multiply wraps
+# for |key| > ~3.47e9 (2^63 / 2654435761) — an error under ANSI mode and a
+# negative remainder otherwise.  Since only (key mod 2^32) matters, mask the
+# key to its low 32 bits, split 16/16, and recombine mod 2^32: every
+# intermediate stays below 65535 * MULT + 2^32 ~ 1.8e14, wrap-free over the
+# FULL 64-bit key domain.  All ops are exact integer arithmetic, so the final
+# double tail (the only inexact part) is bit-identical to the old formula for
+# every previously-valid key, and to the DuckDB oracle text below.
+
+
+def _hash32_expr(key: Column, mult: int, add: int) -> Column:
+    k32 = key.bitwiseAND(F.lit(_TWO32 - 1))
+    k_hi = F.shiftrightunsigned(k32, 16)
+    k_lo = k32.bitwiseAND(F.lit(65535))
+    h = (k_hi * F.lit(mult)).bitwiseAND(F.lit(65535)) * F.lit(65536) + k_lo * F.lit(
+        mult
+    ) + F.lit(add)
+    return h.bitwiseAND(F.lit(_TWO32 - 1))
+
 
 def geotag_lat_expr(key: Column) -> Column:
-    h = (key * F.lit(_LAT_MULT)) % F.lit(_TWO32)
+    h = _hash32_expr(key, _LAT_MULT, 0)
     return F.lit(-90.0) + F.lit(180.0) * (h.cast("double") / F.lit(float(_TWO32)))
 
 
 def geotag_lng_expr(key: Column) -> Column:
-    h = (key * F.lit(_LNG_MULT) + F.lit(_LNG_ADD)) % F.lit(_TWO32)
+    h = _hash32_expr(key, _LNG_MULT, _LNG_ADD)
     return F.lit(-180.0) + F.lit(360.0) * (h.cast("double") / F.lit(float(_TWO32)))
 
 
-GEOTAG_LAT_SQL = "(-90.0 + 180.0 * ((({key} * 2654435761) % 4294967296) / 4294967296.0))"
-GEOTAG_LNG_SQL = "(-180.0 + 360.0 * ((({key} * 2246822519 + 1013904223) % 4294967296) / 4294967296.0))"
+def _hash32_sql(key: str, mult: int, add: int) -> str:
+    """The same wrap-free split in portable SQL (parses in Spark and DuckDB:
+    only & , * , + , CAST/FLOOR and float division)."""
+    k32 = f"({key} & 4294967295)"
+    k_hi = f"CAST(FLOOR({k32} / 65536.0) AS BIGINT)"
+    k_lo = f"({k32} & 65535)"
+    return (
+        f"(((({k_hi} * {mult}) & 65535) * 65536 + {k_lo} * {mult} + {add})"
+        f" & 4294967295)"
+    )
+
+
+GEOTAG_LAT_SQL = (
+    "(-90.0 + 180.0 * (" + _hash32_sql("{key}", _LAT_MULT, 0) + " / 4294967296.0))"
+)
+GEOTAG_LNG_SQL = (
+    "(-180.0 + 360.0 * ("
+    + _hash32_sql("{key}", _LNG_MULT, _LNG_ADD)
+    + " / 4294967296.0))"
+)
 
 
 # ---------------------------------------------------------------------------

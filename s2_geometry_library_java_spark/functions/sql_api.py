@@ -85,22 +85,30 @@ def _sql_scalar_defs() -> list[tuple[str, str]]:
             haversine_sql("lat1", "lng1", "lat2", "lng2"),
         ),
         # NOTE: not the shared GEOTAG_*_SQL text — Spark parses bare decimal
-        # literals as DecimalType, which would drag the bigint division into
+        # literals as DecimalType, which would drag the final division into
         # decimal arithmetic (one ULP off the double tree the native exprs
         # and the DuckDB oracle compute).  D-suffixed literals + an explicit
         # double cast reproduce native.geotag_lat_expr's tree exactly.
-        # KEY DOMAIN: |key| must stay below ~3.47e9 (2^63 / 2654435761) or
-        # the BIGINT multiply wraps — an error under ANSI mode, a lat/lng
-        # outside the valid range otherwise.  The fixture ids this derives
-        # synthetic geotags from are far inside that; arbitrary 64-bit keys
-        # should use s2_anchor_lat/lng (pure bit slicing, full domain).
+        # FULL 64-BIT KEY DOMAIN: the hash is (key * MULT [+ ADD]) mod 2^32,
+        # computed wrap-free by masking the key to its low 32 bits and
+        # splitting 16/16 (every intermediate < ~1.8e14), so the function is
+        # ANSI-safe and in-range for ANY bigint key — a bare key * 2654435761
+        # would wrap past |key| ~ 3.47e9.  The integer stage is exact, so
+        # results are bit-identical to native.geotag_lat_expr and the DuckDB
+        # oracle for every key.
         (
             "s2_geotag_lat(key BIGINT) RETURNS DOUBLE",
-            "-90.0D + 180.0D * (CAST((key * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0D)",
+            "-90.0D + 180.0D * (CAST("
+            "(((shiftrightunsigned(key & 4294967295, 16) * 2654435761) & 65535) * 65536"
+            " + (key & 65535) * 2654435761) & 4294967295"
+            " AS DOUBLE) / 4294967296.0D)",
         ),
         (
             "s2_geotag_lng(key BIGINT) RETURNS DOUBLE",
-            "-180.0D + 360.0D * (CAST((key * 2246822519 + 1013904223) % 4294967296 AS DOUBLE) / 4294967296.0D)",
+            "-180.0D + 360.0D * (CAST("
+            "(((shiftrightunsigned(key & 4294967295, 16) * 2246822519) & 65535) * 65536"
+            " + (key & 65535) * 2246822519 + 1013904223) & 4294967295"
+            " AS DOUBLE) / 4294967296.0D)",
         ),
         # --- r2 operator helpers, exposed by name (round-3 parity pass) ---
         # phash -> anchor lat/lng (FIXTURES.md F1, the images-pipeline

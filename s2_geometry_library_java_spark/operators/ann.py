@@ -303,7 +303,9 @@ def embedding_neardup(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
+    rows_per_task: int = 100_000,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (cosine >= threshold, id_a < id_b) as a
     centroid-blocked similarity join — recall 1.0 by construction, unlike
@@ -330,13 +332,29 @@ def embedding_neardup(
        operation order to Spark's aggregate(zip_with) and DuckDB's
        list_dot_product) so results are BIT-IDENTICAL to the brute path.
 
-    Scale: each task holds two blocks of vectors; cap block width via
-    ``n_blocks`` ~ corpus_size / rows_per_task.  Skewed blocks can be salted
-    by sub-splitting ids within a block (not needed at gate scale).
+    Scale: each task holds two blocks of vectors, so block width is the
+    OOM knob.  ``n_blocks`` is DERIVED from the ``n_rows`` corpus-size hint
+    (ceil(n_rows / rows_per_task), clamped to [16, 4096]) unless given
+    explicitly; without either, the 16-block default only fits small
+    corpora — pass the hint at scale (same contract as
+    ``pip_join(n_rows=...)``).  Centroid blocking follows DATA density, so
+    a clustered corpus can still concentrate rows in one block: every
+    block wider than ``rows_per_task`` is SALTED into ceil(n_i /
+    rows_per_task) sub-blocks by id hash, and the pair list is expanded to
+    every sub-block combination of each surviving block pair — each id
+    lives in exactly one (block, salt), so every qualifying pair is still
+    examined exactly once (exactness preserved; the triangle-inequality
+    prune stays at original-block granularity).  The per-block counts ride
+    the same C-row aggregate as the radii — no extra job.
     """
     import math
 
     theta = math.acos(max(-1.0, min(1.0, threshold)))
+    if n_blocks is None:
+        if n_rows is None:
+            n_blocks = 16
+        else:
+            n_blocks = int(min(4096, max(16, math.ceil(n_rows / rows_per_task))))
 
     cents = (
         embeddings.orderBy(F.col(id_col).asc())
@@ -344,6 +362,7 @@ def embedding_neardup(
         .select(id_col, vec_col)
         .collect()
     )
+    n_blocks = min(n_blocks, len(cents))  # corpus smaller than the ask
     C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -361,27 +380,55 @@ def embedding_neardup(
     pts = embeddings.select(id_col, vec_col, assign(F.col(vec_col)).alias("a")).select(
         id_col, vec_col, F.col("a.block").alias("block"), F.col("a.ang").alias("ang")
     )
-    radii_rows = pts.groupBy("block").agg(F.max("ang").alias("r")).collect()
+    # radii AND counts in one C-row aggregate: radii drive the triangle
+    # prune, counts drive per-block salting of oversized blocks
+    radii_rows = (
+        pts.groupBy("block")
+        .agg(F.max("ang").alias("r"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     radii = np.zeros(n_blocks)
+    salts = np.ones(n_blocks, dtype=np.int64)
     for r in radii_rows:
         radii[r["block"]] = r["r"]
+        salts[r["block"]] = max(1, -(-int(r["n"]) // rows_per_task))
 
     cang = np.arccos(np.clip(Cn @ Cn.T, -1.0, 1.0))
-    pair_rows = [
-        (int(i), int(j))
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-        if cang[i, j] <= radii[i] + radii[j] + theta
-    ]
+    # sub-block pair list: each surviving ORIGINAL pair (i, j) expands to
+    # all (salt_u, salt_v) combos — u <= v when i == j so a same-block
+    # sub-pair is visited once
+    pair_rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            if cang[i, j] <= radii[i] + radii[j] + theta:
+                for u in range(int(salts[i])):
+                    for v in range(u if i == j else 0, int(salts[j])):
+                        pair_rows.append((i, u, j, v))
     spark = embeddings.sparkSession
-    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    pairs = spark.createDataFrame(pair_rows, "ba int, sa int, bb int, sb int")
 
-    left = pts.join(F.broadcast(pairs), F.col("block") == F.col("ba")).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "ba", "bb", F.lit(0).alias("side")
+    salt_arr = F.array(*[F.lit(int(s)) for s in salts])
+    pts = pts.withColumn(
+        "salt",
+        F.pmod(F.hash(F.col(id_col)), F.element_at(salt_arr, F.col("block") + 1)).cast(
+            "int"
+        ),
     )
-    right = (
-        pts.join(F.broadcast(pairs.filter(F.col("ba") != F.col("bb"))), F.col("block") == F.col("bb"))
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "ba", "bb", F.lit(1).alias("side"))
+    left = pts.join(
+        F.broadcast(pairs),
+        (F.col("block") == F.col("ba")) & (F.col("salt") == F.col("sa")),
+    ).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        "ba", "sa", "bb", "sb", F.lit(0).alias("side"),
+    )
+    right = pts.join(
+        F.broadcast(
+            pairs.filter((F.col("ba") != F.col("bb")) | (F.col("sa") != F.col("sb")))
+        ),
+        (F.col("block") == F.col("bb")) & (F.col("salt") == F.col("sb")),
+    ).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        "ba", "sa", "bb", "sb", F.lit(1).alias("side"),
     )
     rep = left.unionByName(right)
 
@@ -403,13 +450,15 @@ def embedding_neardup(
         )
 
     def block_pair(key, pdf):
+        # key = (ba, sa, bb, sb); a SELF comparison is the same sub-block
+        is_self = key[0] == key[2] and key[1] == key[3]
         a_pdf = pdf[pdf["side"] == 0]
         if not len(a_pdf):
             return _empty()
         ids_a = a_pdf["_id"].to_numpy()
         A = np.stack(a_pdf["_v"].to_numpy()).astype(np.float64)
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        if key[0] == key[1]:
+        if is_self:
             ids_b, B, Bn = ids_a, A, An
         else:
             b_pdf = pdf[pdf["side"] == 1]
@@ -420,7 +469,7 @@ def embedding_neardup(
             Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         S = An @ Bn.T
         ii, jj = np.nonzero(S >= threshold - 1e-6)
-        if key[0] == key[1]:
+        if is_self:
             keep = ids_a[ii] < ids_b[jj]
             ii, jj = ii[keep], jj[keep]
         if not len(ii):
@@ -437,5 +486,5 @@ def embedding_neardup(
         )
         return out[out["_sim"] >= threshold]
 
-    res = rep.groupBy("ba", "bb").applyInPandas(block_pair, out_schema)
+    res = rep.groupBy("ba", "sa", "bb", "sb").applyInPandas(block_pair, out_schema)
     return res.select("id_a", "id_b", F.round("_sim", 9).alias("sim"))

@@ -55,9 +55,16 @@ def bounding_caps(
     the centroid-axis bounding cap per group.  Axis in nano-degrees,
     radius in nano-radians (fixed-point BIGINT throughout).
 
-    GEOTAG KEY DOMAIN: ``key_col`` feeds the synthetic geotag hash, so
-    |key| must stay below ~3.47e9 (see s2_geotag_lat); real deployments
-    replace the two geotag expressions with their lat/lng columns.
+    The EMITTED fixed-point cap is a guaranteed cover: the radius is
+    rounded UP (ceil) and padded by 1 nrad, which dominates the
+    worst-case axis displacement from nano-degree quantization
+    (0.5e-9 deg per coordinate -> sqrt(2) * 8.73e-12 rad ~ 0.013 nrad),
+    so a consumer reconstructing the cap from (axis_*_ndeg, radius_nrad)
+    contains every input point — not only the internal double cap.
+
+    ``key_col`` feeds the synthetic geotag hash (full 64-bit domain);
+    real deployments replace the two geotag expressions with their
+    lat/lng columns.
     """
     lat, lng = geotag_lat_expr(F.col(key_col)), geotag_lng_expr(F.col(key_col))
     x, y, z = xyz_exprs(lat, lng)
@@ -96,7 +103,10 @@ def bounding_caps(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.max("axis_lat") * F.lit(1e9)).cast("bigint").alias("axis_lat_ndeg"),
         F.round(F.max("axis_lng") * F.lit(1e9)).cast("bigint").alias("axis_lng_ndeg"),
-        F.round(F.max("angle") * F.lit(1e9)).cast("bigint").alias("radius_nrad"),
+        # ceil + 1 nrad: the emitted fixed-point cap must COVER (see docstring)
+        (F.ceil(F.max("angle") * F.lit(1e9)).cast("bigint") + F.lit(1)).alias(
+            "radius_nrad"
+        ),
     )
 
 
@@ -145,6 +155,6 @@ SELECT {group_col},
        count(*) AS n_points,
        CAST(round(max(axis_lat) * 1e9) AS BIGINT) AS axis_lat_ndeg,
        CAST(round(max(axis_lng) * 1e9) AS BIGINT) AS axis_lng_ndeg,
-       CAST(round(max(angle) * 1e9) AS BIGINT) AS radius_nrad
+       CAST(ceil(max(angle) * 1e9) AS BIGINT) + 1 AS radius_nrad
 FROM staged GROUP BY {group_col}
 """

@@ -27,6 +27,19 @@ points emits k^2/2 candidates; radius chooses L, so cap density by
 deduping exact-location first (dedup_exact) or lowering the radius —
 the n-gram max_df lesson (`operators/dedup.py`), stated here so the
 operator's contract is explicit rather than silently quadratic.
+
+Hot-bucket note (city-density skew): a bucket is both sides' join key,
+so one dense city cell concentrates its k^2/2 candidate rows in a
+single shuffle task.  The pip salt path's trick (`pip_join.py`:
+replicate the SMALL side per salt, scatter the big side) applies
+directly here: salt the LEFT fact rows into s sub-buckets
+(pmod(hash(id_l), s)) and replicate the ring map s times, so one hot
+cell's candidate generation spreads over s tasks; the refine filter is
+unchanged because salting only splits the candidate stream.  Not
+enabled by default — at the default meters-scale radii a level-L cell
+is tens of meters wide and AQE's skew-join split handles the residual
+imbalance; turn it on (or dedup exact locations first) for corpora
+with single-point hot spots (stadium/landmark bursts).
 """
 
 from __future__ import annotations
@@ -61,10 +74,20 @@ def geo_neardup_pairs(
     lat_col: str = "lat",
     lng_col: str = "lng",
     hash_col: str = "phash",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(id_lo, id_hi, dist_nrad, hamming) for every pair within
     ``radius_rad`` on the sphere AND ``max_hamming`` phash bits.
-    Distance reported in fixed-point nano-radians."""
+    Distance reported in fixed-point nano-radians.
+
+    ``n_rows``: optional corpus-size hint (same contract as
+    ``pip_join(n_rows=...)``).  The ring map holds <= 9 rows per POPULATED
+    bucket, and populated buckets <= min(n_rows, 6*4^L) — without the hint
+    only the data-independent grid bound is known, which exceeds the
+    broadcast cap for every level >= 8 (radius < ~23 km), i.e. exactly the
+    realistic near-dup regime.  Pass the hint so meters-scale radii keep
+    the broadcast plan while the bound stays a hard upper guard.
+    """
     level = geo_block_level(radius_rad)
     # broadcast-only joins inherit the SCAN's parallelism: spread() guards
     # the compacted-small-input case (one row group -> one core) and no-ops
@@ -103,10 +126,14 @@ def geo_neardup_pairs(
             ).alias("probe"),
         )
     )
-    # broadcastability decided from the data-independent grid bound
-    # (9 ring rows per possible level-L cell) — no extra count job, and a
-    # conservative fall-through to the shuffled equi-join at deep levels
-    if 9 * 6 * 4**level <= RING_BROADCAST_MAX:
+    # broadcastability decided from the tightest known bound on POPULATED
+    # buckets: the data-independent grid (6*4^L cells) intersected with the
+    # corpus-size hint (distinct buckets <= rows).  No extra count job —
+    # with a hint, meters-scale radii (level >= 8, grid bound astronomical)
+    # still broadcast the tiny populated ring; without one, the grid bound
+    # alone decides and deep levels fall through to the shuffled equi-join.
+    populated_bound = 6 * 4**level if n_rows is None else min(n_rows, 6 * 4**level)
+    if 9 * populated_bound <= RING_BROADCAST_MAX:
         ring = F.broadcast(ring)
     dist = haversine_expr(
         F.col("lat_l"), F.col("lng_l"), F.col("lat_r"), F.col("lng_r")

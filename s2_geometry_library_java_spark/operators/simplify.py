@@ -21,9 +21,10 @@ Scale shape (the 100-TB plan):
   ties), so output is partitioning-independent; distances compare in
   exact doubles, output carries fixed-point nano-radian deviation.
 
-GEOTAG KEY DOMAIN: ``key_col`` feeds the synthetic geotag hash, so
-|key| must stay below ~3.47e9 (see s2_geotag_lat); real deployments
-replace the geotag expressions with their lat/lng columns.
+``key_col`` feeds the synthetic geotag hash (valid over the full
+64-bit key domain since the round-4 wrap-free rewrite of
+``geotag_lat_expr``); real deployments replace the geotag expressions
+with their lat/lng columns.
 """
 
 from __future__ import annotations
@@ -157,5 +158,10 @@ def simplify_trajectories(
         if held is not None and len(held):
             yield _block(held)
 
-    schema = f"{user_col} long, seq long, {key_col} long, lat double, lng double"
+    # id column types come FROM the input schema (a string user_id or int32
+    # key would otherwise hit an opaque Arrow cast error against a
+    # hardcoded 'long')
+    u_type = events.schema[user_col].dataType.simpleString()
+    k_type = events.schema[key_col].dataType.simpleString()
+    schema = f"{user_col} {u_type}, seq long, {key_col} {k_type}, lat double, lng double"
     return clustered.mapInPandas(it, schema=schema)

@@ -76,6 +76,15 @@ def snap_join(
     line within ``radius_rad``, distance in fixed-point nano-radians.
     ``points`` must carry the leaf cell id plus lat/lng degrees."""
     spark = points.sparkSession
+    # mirror S2Polyline's vertex-count validity rule (S2Polyline.java:90-100)
+    # driver-side: a 0/1-vertex line has no edges, and would otherwise fail
+    # deep inside an Arrow task (np.stack over zero edges) with no line name
+    bad = sorted(lid for lid, ln in lines.items() if len(ln.vertices) < 2)
+    if bad:
+        raise ValueError(
+            f"snap_join requires >= 2 vertices per polyline (no edges to "
+            f"snap to); invalid line ids: {bad[:5]}{'...' if len(bad) > 5 else ''}"
+        )
     level, rows = snap_candidate_cells(lines, radius_rad)
     cand = F.broadcast(spark.createDataFrame(rows, "bucket long, line_id string"))
     pairs = points.withColumn("bucket", parent_expr(F.col(cell_col), level)).join(

@@ -64,7 +64,31 @@ def test_degenerate_axis_falls_back_to_pole(spark):
     # feeding a single point (norm > 0, radius 0) and asserting radius 0.
     df = spark.createDataFrame([(0, 7)], "user_id long, event_id long")
     r = bounding_caps(df).collect()[0]
-    assert r.n_points == 1 and r.radius_nrad == 0
+    # the fixed-point axis tilts the single point's angle by ~1e-9 rad, so
+    # the emitted radius is ceil(~1e-9*1e9) + 1 = at most 2, never 0: the
+    # ceil+1 cover pad in action
+    assert r.n_points == 1 and 1 <= r.radius_nrad <= 2
+
+
+def test_emitted_fixed_point_cap_is_a_cover(result):
+    """Reconstruct each cap FROM the quantized output and verify it
+    contains every input point — the guarantee the ceil+1 pad buys."""
+    _, caps_by_g, _ = result
+    keys = np.arange(N, dtype=np.int64)
+    lat, lng = _geotag(keys)
+    xyz = ck.latlng_degrees_to_xyz(lat, lng)
+    for g in range(N_GROUPS):
+        pts = xyz[keys % N_GROUPS == g]
+        r = caps_by_g[g]
+        alat = np.radians(r.axis_lat_ndeg * 1e-9)
+        alng = np.radians(r.axis_lng_ndeg * 1e-9)
+        axis = np.array(
+            [np.cos(alat) * np.cos(alng), np.cos(alat) * np.sin(alng), np.sin(alat)]
+        )
+        dots = pts @ axis
+        crosses = np.linalg.norm(np.cross(pts, axis[None, :]), axis=1)
+        angles = np.arctan2(crosses, dots)
+        assert (angles <= r.radius_nrad * 1e-9).all()
 
 
 def test_single_exchange_plan(spark):

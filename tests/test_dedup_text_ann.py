@@ -290,6 +290,37 @@ def test_embedding_neardup_blocked_is_bit_exact_vs_brute(emb):
     assert brute == blocked and len(brute) > 0
 
 
+def test_embedding_neardup_salted_skewed_block_is_exact(emb):
+    """Skew path: a tiny rows_per_task forces every block past the salt
+    threshold, sub-splitting blocks by id hash and expanding the pair list
+    to all sub-block combos — results must STILL equal brute exactly (each
+    id lives in one (block, salt), so no pair is lost or duplicated)."""
+    brute = sorted(
+        tuple(r) for r in ann.embedding_neardup_brute(emb, threshold=0.4).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in ann.embedding_neardup(
+            emb, threshold=0.4, n_blocks=4, rows_per_task=7
+        ).collect()
+    )
+    assert salted == brute and len(brute) > 0  # sorted lists: dup pairs would differ
+
+
+def test_embedding_neardup_derives_blocks_from_hint(emb):
+    """n_rows hint drives the block count: the centroid limit reflects
+    ceil(n_rows / rows_per_task) clamped to [16, 4096], and results stay
+    exact under the derived blocking."""
+    brute = {tuple(r) for r in ann.embedding_neardup_brute(emb, threshold=0.4).collect()}
+    hinted = {
+        tuple(r)
+        for r in ann.embedding_neardup(
+            emb, threshold=0.4, n_rows=10_000_000, rows_per_task=100_000
+        ).collect()
+    }
+    assert hinted == brute
+
+
 # ---------------------------------------------------------------------------
 # Connected components (near-dup cluster collapse)
 # ---------------------------------------------------------------------------

@@ -61,6 +61,36 @@ def test_block_level_covers_radius():
     assert metrics.MIN_WIDTH.get_value(lvl + 1) < RADIUS
 
 
+def test_ring_broadcast_follows_populated_bound(spark, pts):
+    """Meters-scale radius => level >= 8 => grid bound exceeds the cap, but
+    an n_rows hint bounds the POPULATED ring small => broadcast plan; the
+    same radius without a hint falls through to the shuffled equi-join."""
+    df, _, _, _ = pts
+    tiny_radius = 1e-6  # ~6 m: geo_block_level gives a deep level
+    assert geo_block_level(tiny_radius) >= 8
+
+    def plan(n_rows):
+        return (
+            geo_neardup_pairs(df, tiny_radius, MAX_HAM, n_rows=n_rows)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    hinted = plan(N)
+    assert "BroadcastHashJoin" in hinted
+    unhinted = plan(None)
+    # conservative fall-through: ring join shuffles without the hint
+    assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+
+    # same rows either way (the hint is plan-only)
+    a = sorted(
+        map(tuple, geo_neardup_pairs(df, RADIUS, MAX_HAM, n_rows=N).collect())
+    )
+    b = sorted(map(tuple, geo_neardup_pairs(df, RADIUS, MAX_HAM).collect()))
+    assert a == b
+
+
 def test_plan_has_no_all_pairs_join(spark, pts):
     df, _, _, _ = pts
     plan = (

@@ -89,3 +89,24 @@ def test_batch_straddle_stitching(spark, traces):
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert got == want
+
+
+def test_id_column_types_follow_input_schema(spark):
+    """A string entity id / int key must flow through (the output schema is
+    derived from the input, not hardcoded long)."""
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_java_spark.operators.simplify import (
+        simplify_trajectories,
+    )
+
+    base = spark.range(200).select(
+        F.concat(F.lit("u"), (F.col("id") % 4).cast("string")).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.col("id").cast("int").alias("event_id"),
+    )
+    out = simplify_trajectories(base, tol_rad=1e-3)
+    assert dict(out.dtypes)["user_id"] == "string"
+    assert dict(out.dtypes)["event_id"] == "int"
+    rows = out.collect()
+    assert len(rows) > 0 and all(r.user_id.startswith("u") for r in rows)

@@ -81,3 +81,13 @@ def test_plan_broadcasts_candidates_no_fact_shuffle(spark, pts):
     # AFTER the refine; the fact scan side must join shuffle-free.
     pre_refine = plan.split("MapInPandas")[-1]  # plan prints children below
     assert "Exchange hashpartitioning" not in pre_refine, pre_refine
+
+
+def test_degenerate_polyline_rejected_driver_side(spark, pts):
+    """A 0/1-vertex line has no edges: snap_join must fail fast with the
+    line id in the message, not deep inside an Arrow task."""
+    df, _, _ = pts
+    bad = dict(LINES)
+    bad["stub"] = S2Polyline(parse_vertices("5:5"))
+    with pytest.raises(ValueError, match="stub"):
+        snap_join(df, bad, RADIUS)

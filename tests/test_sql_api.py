@@ -149,3 +149,19 @@ def test_radius_level_matches_kernel_at_boundaries(sql_spark):
     for r in radii:
         want = min(metrics.MIN_WIDTH.get_max_level(2.0 * float(r)), 29)
         assert got[float(r)] == want, (r, got[float(r)], want)
+
+
+def test_geotag_full_64bit_key_domain(sql_spark):
+    """The wrap-free split form: huge and negative keys give in-range
+    coordinates (the old bare multiply wrapped past |key| ~ 3.47e9), and
+    in-domain keys are bit-identical to the original formula."""
+    rows = sql_spark.sql(
+        "SELECT k, s2_geotag_lat(k) AS la, s2_geotag_lng(k) AS ln FROM VALUES "
+        "(0L), (12345L), (3000000000L), (9223372036854775807L), "
+        "(-9223372036854775808L), (-5L) AS t(k)"
+    ).collect()
+    for r in rows:
+        assert -90.0 <= r.la < 90.0 and -180.0 <= r.ln < 180.0, r
+        k32 = r.k % 2**32  # python ints: exact reference recompute
+        assert r.la == -90.0 + 180.0 * (((k32 * 2654435761) % 2**32) / 2**32)
+        assert r.ln == -180.0 + 360.0 * (((k32 * 2246822519 + 1013904223) % 2**32) / 2**32)
