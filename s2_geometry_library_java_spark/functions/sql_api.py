@@ -140,6 +140,26 @@ def _sql_scalar_defs() -> list[tuple[str, str]]:
             f"CAST(FLOOR(LOG2({_MIN_WIDTH_DERIV!r}D / r)) AS INT)) THEN -1 "
             f"ELSE 0 END))) END",
         ),
+        # S2LatLng fixed-point codecs (S2LatLng.java:43-57, S1Angle.java:
+        # 31-41,109-121): decode multiplies by 1E-k like the reference
+        # (S1Angle.java:113-116), encode is Java Math.round == floor(x+0.5)
+        # — both pure codegen arithmetic, bit-identical to kernel
+        # from_e5/to_e5 and any DuckDB twin.
+        ("s2_from_e5(e BIGINT) RETURNS DOUBLE", "CAST(e AS DOUBLE) * 1.0E-5D"),
+        ("s2_from_e6(e BIGINT) RETURNS DOUBLE", "CAST(e AS DOUBLE) * 1.0E-6D"),
+        ("s2_from_e7(e BIGINT) RETURNS DOUBLE", "CAST(e AS DOUBLE) * 1.0E-7D"),
+        (
+            "s2_to_e5(deg DOUBLE) RETURNS BIGINT",
+            "CAST(FLOOR(deg * 1.0E5D + 0.5D) AS BIGINT)",
+        ),
+        (
+            "s2_to_e6(deg DOUBLE) RETURNS BIGINT",
+            "CAST(FLOOR(deg * 1.0E6D + 0.5D) AS BIGINT)",
+        ),
+        (
+            "s2_to_e7(deg DOUBLE) RETURNS BIGINT",
+            "CAST(FLOOR(deg * 1.0E7D + 0.5D) AS BIGINT)",
+        ),
         # level metrics (S2.java:141-221): POWER(2, n) and the multiply are
         # exact binary scalings, bit-identical to the kernel's math.ldexp
         (

@@ -334,6 +334,20 @@ def _wedge_contains_or_crosses(a0, ab1, a2, b0, b2) -> int:
     return 0 if pr.ordered_ccw(a0, b0, a2, ab1) else -1
 
 
+def _wedge_contains_or_intersects(a0, ab1, a2, b0, b2) -> int:
+    """+1 if A contains B, 0 if disjoint, -1 if A intersects but does not
+    contain B — the 4th wedge relation (S2EdgeUtil.java:461-487,
+    WedgeContainsOrIntersects): distinguishes case 1 (contains), case 3
+    (disjoint), and cases 2/4/5/6 (intersects-not-contains)."""
+    if pr.ordered_ccw(a0, a2, b2, ab1):
+        # case 1, 5, or 6 — or case 2 if a2 == b2
+        return 1 if pr.ordered_ccw(b2, b0, a0, ab1) else -1
+    if not pr.ordered_ccw(a2, b0, b2, ab1):
+        return 0  # case 3 (disjoint)
+    # case 2 or 4 — or case 3 if a2 == b0
+    return 0 if np.array_equal(a2, b0) else -1
+
+
 MAX_INTERSECTION_ERROR = 1e-15  # S2Loop.java:53
 
 

@@ -188,6 +188,40 @@ def xyz_to_latlng_radians(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# S2LatLng fixed-point codecs (S2LatLng.java:43-57 fromE5/E6/E7,
+# S1Angle.java:31-41 e5/e6/e7, :109-121 the inverse constructors).  The
+# reference MULTIPLIES by 1e-k on decode (S1Angle.java:113-116 keeps the
+# faster multiply deliberately) and uses Math.round == floor(x + 0.5) on
+# encode — both reproduced exactly so doubles are bit-identical.
+# ---------------------------------------------------------------------------
+def from_e5(e: np.ndarray) -> np.ndarray:
+    """E5 fixed-point -> degrees (S2LatLng.fromE5 / S1Angle.e5)."""
+    return np.asarray(e, dtype=np.int64) * 1e-5
+
+
+def from_e6(e: np.ndarray) -> np.ndarray:
+    return np.asarray(e, dtype=np.int64) * 1e-6
+
+
+def from_e7(e: np.ndarray) -> np.ndarray:
+    return np.asarray(e, dtype=np.int64) * 1e-7
+
+
+def to_e5(deg: np.ndarray) -> np.ndarray:
+    """Degrees -> E5 (Java Math.round == floor(x + 0.5), exact for negatives
+    too: Math.round(-2.5) == -2)."""
+    return np.floor(np.asarray(deg, dtype=np.float64) * 1e5 + 0.5).astype(np.int64)
+
+
+def to_e6(deg: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(deg, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def to_e7(deg: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(deg, dtype=np.float64) * 1e7 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # K3: xyzToFace (S2Projections.java:321-327, S2Point.java:96-111)
 # ---------------------------------------------------------------------------
 def xyz_to_face(xyz: np.ndarray) -> np.ndarray:

@@ -14,6 +14,7 @@ import numpy as np
 from s2_geometry_library_java_spark.geometry.loop import (
     _wedge_contains,
     _wedge_contains_or_crosses,
+    _wedge_contains_or_intersects,
     _wedge_intersects,
 )
 from s2_geometry_library_java_spark.kernel import cellid as c
@@ -88,11 +89,14 @@ def _norm(p):
 
 
 def _assert_wedge(a0, ab1, a2, b0, b2, contains, intersects, crosses):
-    # S2EdgeUtilTest.java:260-281 assertWedge (WedgeContainsOrIntersects is
-    # by definition contains?1 : intersects?-1 : 0, asserted via the parts).
+    # S2EdgeUtilTest.java:260-281 assertWedge — all FOUR wedge relations,
+    # exactly the reference's expectations.
     a0, ab1, a2, b0, b2 = map(_norm, (a0, ab1, a2, b0, b2))
     assert _wedge_contains(a0, ab1, a2, b0, b2) == (1 if contains else 0)
     assert _wedge_intersects(a0, ab1, a2, b0, b2) == (-1 if intersects else 0)
+    assert _wedge_contains_or_intersects(a0, ab1, a2, b0, b2) == (
+        1 if contains else -1 if intersects else 0
+    )
     assert _wedge_contains_or_crosses(a0, ab1, a2, b0, b2) == (
         1 if contains else -1 if crosses else 0
     )
@@ -122,3 +126,44 @@ def test_wedges():
     _assert_wedge((2, 1, 10), (0, 0, 1), (1, -5, 10), (2, 1, 10), (-1, -1, 10), False, True, False)
     # B contains A with equality on the other side.
     _assert_wedge((2, 1, 10), (0, 0, 1), (1, -5, 10), (-2, 1, 10), (1, -5, 10), False, True, False)
+
+
+def test_e5_e6_e7_codecs():
+    """S2LatLngTest.java:70-73 golden (fromE5(123456, 98765) -> 1.23456,
+    0.98765 degrees) plus exact round-trips and Java Math.round negative
+    semantics across all three precisions."""
+    assert c.from_e5(np.array([123456]))[0] == 1.23456
+    assert c.from_e5(np.array([98765]))[0] == 0.98765
+    rng = np.random.default_rng(7)
+    for enc, dec, lim in [
+        (c.to_e5, c.from_e5, 90 * 10**5),
+        (c.to_e6, c.from_e6, 90 * 10**6),
+        (c.to_e7, c.from_e7, 90 * 10**7),
+    ]:
+        e = rng.integers(-lim, lim, 2000, dtype=np.int64)
+        rt = enc(dec(e))
+        assert rt.dtype == np.int64 and np.array_equal(rt, e)
+    # Java Math.round == floor(x + 0.5): -2.5 rounds UP to -2
+    assert c.to_e5(np.array([-2.5e-5]))[0] == -2
+    assert c.to_e5(np.array([2.5e-5]))[0] == 3
+
+
+def test_e5_e6_e7_sql_surface(spark):
+    """The s2_from_e*/s2_to_e* SQL functions match the kernel bit-for-bit
+    and constant-fold/codegen (pure arithmetic bodies)."""
+    from s2_geometry_library_java_spark.functions.sql_api import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT s2_from_e5(123456) AS a, s2_from_e6(1234567) AS b, "
+        "s2_from_e7(12345678) AS c, s2_to_e5(1.23456D) AS d, "
+        "s2_to_e6(-1.2345675D) AS e, s2_to_e7(s2_from_e7(-987654321)) AS f"
+    ).collect()[0]
+    assert rows.a == c.from_e5(np.array([123456]))[0]
+    assert rows.b == c.from_e6(np.array([1234567]))[0]
+    assert rows.c == c.from_e7(np.array([12345678]))[0]
+    assert rows.d == c.to_e5(np.array([1.23456]))[0]
+    assert rows.e == c.to_e6(np.array([-1.2345675]))[0]
+    assert rows.f == -987654321
