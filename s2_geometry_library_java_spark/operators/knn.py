@@ -26,9 +26,14 @@ take a driver-side Python list of queries):
    unresolved set is EMPTY, AQE's empty-relation propagation skips the
    probe-side scan entirely, so the common case pays zero for the fallback.
 
-Two fact-side scans total (candidates + resolution agg share the cached
-encode locally; at cluster scale they are two scans of the same pruned
-columns).  No per-round driver round-trips, no ``.collect()`` anywhere.
+ONE fact-side scan in the common case: the rung-1 candidate set (tiny by
+the radius derivation, ~target rows per query) is materialized eagerly via
+``localCheckpoint``, a single count over it decides resolution, and when
+every query resolved the returned plan is the top-k filter over the
+checkpoint alone — the re-probe rung and brute net are never even built
+(the round-4 fix for the regression where small corpora paid for the
+escalation machinery on every action).  No per-round driver round-trips,
+no ``.collect()`` of data rows anywhere.
 """
 
 from __future__ import annotations
@@ -184,13 +189,16 @@ def knn_join(
 
     wq = Window.partitionBy("query_id")
     wrank = wq.orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    # Rank and the resolution count come off ONE window subtree so the two
-    # consumers below (top-k rows, resolved-query ids) share the SAME
-    # Exchange(query_id) — Spark's ReusedExchange then executes the whole
-    # candidate pipeline (fact scan + encode + bucket join) exactly once per
-    # action instead of once per branch.
-    ranked = cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq)).withColumn(
-        "rank", F.row_number().over(wrank)
+    # Rank and the resolution count come off ONE window subtree, and that
+    # subtree is materialized EXACTLY ONCE (eager localCheckpoint): the
+    # in-radius candidate set is ~target rows per query (tiny by the radius
+    # derivation), so every consumer below — top-k rows, the resolution
+    # check, the re-probe anti-joins — reads the checkpoint instead of
+    # re-running the fact scan + bucket join + window.
+    ranked = (
+        cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq))
+        .withColumn("rank", F.row_number().over(wrank))
+        .localCheckpoint(eager=True)
     )
     main = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") <= k)).drop("_n_in_r")
 
@@ -198,6 +206,16 @@ def knn_join(
     unresolved = qdf.join(resolved_q.select("query_id"), "query_id", "left_anti")
 
     branches = [main]
+
+    # Short-circuit (round-4 knn regression fix): ONE tiny agg over the
+    # checkpointed candidates decides whether any query is unresolved.  The
+    # common case — every query finds >= k in-radius candidates on the first
+    # rung — then returns the main branch alone: no re-probe subtree, no
+    # brute net, no left_anti chains in the executed plan at all.  The agg
+    # costs a count over <= (queries x target) checkpointed rows, not a
+    # fact scan.
+    if unresolved.count() == 0:
+        return main.select(*_dedup_out_cols(points))
 
     # Coarser re-probe rung: 4x radius (two levels up keeps the 4-bucket
     # invariant: MIN_WIDTH(level2) >= 2*r2), joined ONLY against the
@@ -244,12 +262,17 @@ def knn_join(
         )
         branches.append(brute)
 
+    seen = _dedup_out_cols(points)
+    out = branches[0].select(*seen)
+    for b in branches[1:]:
+        out = out.unionByName(b.select(*seen))
+    return out
+
+
+def _dedup_out_cols(points: DataFrame) -> list[str]:
     out_cols = ["query_id", *points.columns, "cell_id", "dist", "rank"]
     seen: list[str] = []
     for c in out_cols:
         if c not in seen:
             seen.append(c)
-    out = branches[0].select(*seen)
-    for b in branches[1:]:
-        out = out.unionByName(b.select(*seen))
-    return out
+    return seen
