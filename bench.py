@@ -167,11 +167,39 @@ def main() -> None:
         # Fixed 128-way layout: file/row-group count bounds read parallelism (a
         # parquet row group is indivisible), so it must not depend on the writer's
         # core count or the 4N-core leg of the scaling run starves on N files.
-        img_dir = os.environ.get("BENCH_IMAGES_DIR", f"/tmp/s2bench_images_{N_IMAGES}")
+        # BENCH_SKEW_FRACTION > 0 materializes a SKEWED corpus: that fraction
+        # of rows' phash collapses into a ~0.003-degree hot box at (48, 10)
+        # — inside the r_eu layer, thousands of distinct leaf cells but ONE
+        # covering cell per level, so the shuffled ancestor join funnels the
+        # whole fraction through one reducer key unless salted.  Jitter in
+        # the low 16 bits of each phash half keeps leaf ids distinct (the
+        # probe salt hashes the leaf id, so a single-leaf hot spot would be
+        # unsplittable by design).
+        skew = float(os.environ.get("BENCH_SKEW_FRACTION", "0") or 0)
+        img_dir = os.environ.get(
+            "BENCH_IMAGES_DIR",
+            f"/tmp/s2bench_images_{N_IMAGES}"
+            + (f"_skew{int(skew * 100)}" if skew else ""),
+        )
         if not os.path.exists(os.path.join(img_dir, "_SUCCESS")):
-            synthetic_images(spark, N_IMAGES, partitions=128, with_bytes=False).select(
+            base = synthetic_images(spark, N_IMAGES, partitions=128, with_bytes=False).select(
                 "image_id", "caption", "phash"
-            ).write.mode("overwrite").parquet(img_dir)
+            )
+            if skew:
+                up32 = int((48.0 + 90.0) / 180.0 * 2**32) & 0xFFFF0000
+                lo32 = int((10.0 + 180.0) / 360.0 * 2**32) & 0xFFFF0000
+                j1 = F.pmod(F.xxhash64(F.col("image_id")), F.lit(65536))
+                j2 = F.pmod(F.xxhash64(F.col("image_id"), F.lit(1)), F.lit(65536))
+                hot = F.shiftleft(F.lit(up32) + j1, 32).bitwiseOR(F.lit(lo32) + j2)
+                base = base.withColumn(
+                    "phash",
+                    F.when(
+                        F.pmod(F.xxhash64(F.col("image_id"), F.lit(2)), F.lit(1000))
+                        < F.lit(int(skew * 1000)),
+                        hot,
+                    ).otherwise(F.col("phash")),
+                )
+            base.write.mode("overwrite").parquet(img_dir)
 
         def e2e_job() -> int:
             # The manifest needs only (cell_id, polygon_id): project to phash and
@@ -185,7 +213,18 @@ def main() -> None:
             # the same call routes to the interval-stab path.  BENCH_PIP_STRATEGY
             # pins a strategy for scaling A/B experiments.
             strat = os.environ.get("BENCH_PIP_STRATEGY", "auto")
-            m = pip_join(enc_imgs, ALL_LAYERS, n_rows=N_IMAGES, strategy=strat)
+            pip_kw: dict = dict(n_rows=N_IMAGES, strategy=strat)
+            # the 100-TB arms (layer side too big to broadcast): shuffled
+            # ancestor equi-join, optionally salted against hot-cell skew
+            if strat == "ancestor_shuffled":
+                pip_kw.update(strategy="ancestor", broadcast_cells=False)
+            elif strat == "ancestor_salted":
+                pip_kw.update(
+                    strategy="ancestor",
+                    broadcast_cells=False,
+                    salt=int(os.environ.get("BENCH_PIP_SALT", "8")),
+                )
+            m = pip_join(enc_imgs, ALL_LAYERS, **pip_kw)
             return tile_manifest(m, tile_level=7).count()
 
         # 5 warmups: the BNLJ codegen loop keeps improving through ~5 executions

@@ -188,6 +188,41 @@ def xyz_to_latlng_radians(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# UV edge normals (S2Projections.getUNorm/getVNorm, S2Projections.java:
+# 341-373): the right-handed normal of the edge running in the increasing
+# u (resp. v) direction at coordinate u on a face.  Each switch arm is
+# linear in u, so the vectorized form is one coefficient gather + fma.
+# ---------------------------------------------------------------------------
+_U_NORM_COEF = np.array(
+    [[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1]], dtype=np.float64
+)
+_U_NORM_CONST = np.array(
+    [[0, -1, 0], [1, 0, 0], [1, 0, 0], [0, 0, 1], [0, 0, 1], [0, -1, 0]], dtype=np.float64
+)
+_V_NORM_COEF = np.array(
+    [[-1, 0, 0], [0, -1, 0], [0, 0, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float64
+)
+_V_NORM_CONST = np.array(
+    [[0, 0, 1], [0, 0, 1], [0, -1, 0], [0, -1, 0], [1, 0, 0], [1, 0, 0]], dtype=np.float64
+)
+
+
+def get_u_norm(face: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """(n,3) right-handed normal of the increasing-u edge at u on each face
+    (S2Projections.getUNorm, S2Projections.java:341-356)."""
+    face = np.asarray(face, dtype=np.int64)
+    u = np.asarray(u, dtype=np.float64)
+    return _U_NORM_COEF[face] * u[..., None] + _U_NORM_CONST[face]
+
+
+def get_v_norm(face: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(S2Projections.getVNorm, S2Projections.java:358-373)."""
+    face = np.asarray(face, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    return _V_NORM_COEF[face] * v[..., None] + _V_NORM_CONST[face]
+
+
+# ---------------------------------------------------------------------------
 # S2LatLng fixed-point codecs (S2LatLng.java:43-57 fromE5/E6/E7,
 # S1Angle.java:31-41 e5/e6/e7, :109-121 the inverse constructors).  The
 # reference MULTIPLIES by 1e-k on decode (S1Angle.java:113-116 keeps the

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Round-4 A/B for the 100-TB join arm: the shuffled (non-broadcast)
+ancestor equi-join, with and without probe salting, against the broadcast
+interval-stab strategy — at 128M rows on a uniform corpus AND a skewed one
+(25% of rows in a ~0.003-degree hot box inside r_eu: one covering-cell key
+per level carries a quarter of the shuffle unless salted).
+
+Fresh JVM per leg via bench.py (BENCH_ONLY_E2E, 2 warmups + best-of-3,
+the w12-w14 split-sizing recipe baked into bench.py).  One JSON line per
+leg to stdout; append to BENCH/r4_salted_ab.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def leg(cpus: int, strategy: str, skew: float, n_images: int, salt: int = 8) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_ONLY_E2E="1",
+        BENCH_N_IMAGES=str(n_images),
+        BENCH_WARMUPS="2",
+        BENCH_PIP_STRATEGY=strategy,
+        BENCH_PIP_SALT=str(salt),
+        BENCH_SKEW_FRACTION=str(skew) if skew else "",
+    )
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=3000,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return {
+        "cpus": cpus, "strategy": strategy, "skew": skew,
+        "sec": d["queries"]["e2e_images"], "img_per_sec": d["images_per_sec"],
+        "manifest_rows": d.get("manifest_rows"),
+    }
+
+
+def main() -> None:
+    n_images = int(os.environ.get("AB_N_IMAGES", "128000000"))
+    cpus = int(os.environ.get("AB_CPUS", "32"))
+    for skew in (0.0, 0.25):
+        for strategy in ("stab", "ancestor_shuffled", "ancestor_salted"):
+            r = leg(cpus, strategy, skew, n_images)
+            print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

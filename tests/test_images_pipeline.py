@@ -132,3 +132,46 @@ def test_streaming_encode_plan(spark, tmp_path):
 
     tiles = np.array([r["tile_id"] for r in out], dtype=np.int64).view(np.uint64)
     assert (ck.level(tiles) == 2).all()
+
+
+def test_short_and_long_decoder_returns_pad_and_crop(monkeypatch):
+    """Codec seam robustness (ADVICE r3): a real decoder may return FEWER
+    pixels than w*h*3 (truncated file) or more (padded rows) — the stats
+    batch must pad with zeros / crop instead of raising a ragged-stack
+    ValueError.  Pure-pandas unit test on image_stats_pandas, the exact
+    function the Spark operator and the driver-side golden oracle share."""
+    import pandas as pd
+
+    from s2_geometry_library_java_spark.operators import images as im
+
+    n, w, h = 6, 4, 3
+    k = w * h * 3
+    base = im._source_pixels_batch(np.arange(n, dtype=np.int64), k)
+
+    def fake_decode(data, ww, hh, fmt):
+        i = int(data[:8].decode())
+        if i == 2:
+            return base[i][: k - 7]  # short: truncated decode
+        if i == 4:
+            return np.concatenate([base[i], np.zeros(5, np.uint8)])  # long
+        return base[i]
+
+    monkeypatch.setattr(im, "decode_pixels", fake_decode)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{i}" for i in range(n)],
+            "bytes": [f"{i:08d}".encode() for i in range(n)],
+            "w": w,
+            "h": h,
+            "fmt": "raw",
+            "caption": [f"c{i}" for i in range(n)],
+        }
+    )
+    out = im.image_stats_pandas(pdf)
+    assert len(out) == n and list(out["image_id"]) == list(pdf["image_id"])
+    # exact rows decode exactly: infinite PSNR sentinel
+    assert all(out["psnr"][i] == 999.0 for i in (0, 1, 3, 5))
+    # the short row was zero-padded: finite PSNR, still a valid stats row
+    assert np.isfinite(out["psnr"][2]) and out["psnr"][2] < 999.0
+    # the long row was cropped back to k: exact again
+    assert out["psnr"][4] == 999.0

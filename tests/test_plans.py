@@ -147,7 +147,11 @@ def test_salted_join_shuffles(spark, points):
         plan = plan_of(pip_join(points, NATIVE_LAYERS, broadcast_cells=False, salt=4))
         assert "BroadcastHashJoin" not in plan
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
-        assert "_psalt" in plan and "_csalt" in plan  # salt is in the join keys
+        # the salt is PACKED into a single BIGINT join key (_pkey/_ckey), so
+        # the probe-side sort stays radix-eligible (r4: compound keys
+        # measured 2-3x slower); exactly one join key column per side
+        assert "_pkey" in plan and "_ckey" in plan
+        assert "_psalt" not in plan  # no compound-key fallback at level<=12
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.adaptive.enabled", "true")

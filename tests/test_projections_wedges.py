@@ -3,10 +3,11 @@
 Covers the reference tests not exercised elsewhere: traversal-order table
 consistency (S2Test.java testTraversalOrder), ST<->UV inverses (testSTUV),
 face frame identities + cross-face Hilbert continuity (testFaceUVtoXYZ),
-axis/derivative consistency (testUVAxes), and the full 12-fixture wedge
-relation matrix (S2EdgeUtilTest.java:260-340).  testUVNorms is not ported:
-it pins getUNorm/getVNorm, edge normals this engine never needs (loop
-containment uses crossing parity, not per-edge normals).
+axis/derivative consistency (testUVAxes), UV edge normals (testUVNorms,
+S2Test.java:97-112 — round-4 addition closing the last unported reference
+test fragment), the full wedge relation matrix (S2EdgeUtilTest.java:
+260-340, all four relations), and the S2LatLng E5/E6/E7 fixed-point
+codecs (S2LatLngTest.java:70-73).
 """
 
 import numpy as np
@@ -167,3 +168,30 @@ def test_e5_e6_e7_sql_surface(spark):
     assert rows.d == c.to_e5(np.array([1.23456]))[0]
     assert rows.e == c.to_e6(np.array([-1.2345675]))[0]
     assert rows.f == -987654321
+
+
+def test_uv_norms():
+    """S2Test.java:97-112 testUVNorms: getUNorm/getVNorm are right-handed
+    normals of increasing-u / increasing-v edges — the cross product of the
+    edge endpoints must be PARALLEL to the table normal (angle ~ 0)."""
+    x = np.arange(-1.0, 1.0 + 1e-12, 1.0 / 1024.0)
+    ones = np.ones_like(x)
+    for face in range(6):
+        f = np.full_like(x, face, dtype=np.int64)
+        eu = np.cross(
+            c.face_uv_to_xyz(f, x, -ones), c.face_uv_to_xyz(f, x, ones)
+        )
+        un = c.get_u_norm(f, x)
+        # angle(a,b) = atan2(|a x b|, a.b); assertDoubleNear tolerance 1e-9
+        ang_u = np.arctan2(
+            np.linalg.norm(np.cross(eu, un), axis=1), (eu * un).sum(axis=1)
+        )
+        assert ang_u.max() < 1e-9
+        ev = np.cross(
+            c.face_uv_to_xyz(f, -ones, x), c.face_uv_to_xyz(f, ones, x)
+        )
+        vn = c.get_v_norm(f, x)
+        ang_v = np.arctan2(
+            np.linalg.norm(np.cross(ev, vn), axis=1), (ev * vn).sum(axis=1)
+        )
+        assert ang_v.max() < 1e-9
