@@ -6,9 +6,18 @@ Two candidate-generation strategies, both images of reference index queries:
   covering layer's distinct levels (a bounded <=30-way fan-out, pure native
   bit math) and equi-join on cell_id — the "check all parent cells" trick of
   S2EdgeIndex.getEdgesInParentCells (S2EdgeIndex.java:422-441) turned into a
-  shuffle-friendly, salt-able equi-join.  This is the strategy that survives
-  a 100 TB fact side: broadcast the covering when small, shuffled hash join
-  with optional salting when not.
+  shuffle-friendly, salt-able equi-join.  Broadcast-covering form only in
+  practice: for the beyond-broadcast regime the explode's |levels|x probe
+  amplification is the dominant shuffle cost, so "auto" routes there to the
+  PREFIX strategy instead.
+
+- **prefix-partitioned interval join** (``strategy="prefix"``, the 100-TB
+  arm, auto-chosen whenever the covering must not be broadcast): one
+  level-A ancestor key per probe row (no fan-out), covering replicated
+  driver-side to the same prefixes, shuffled hash equi-join on the packed
+  BIGINT prefix with exact interval containment as the residual condition,
+  plus a pre-shuffle IN-set prune of probe rows outside every covering
+  prefix.  See prefix_candidates.
 
 - **range join**: ``biased(cell_id) BETWEEN biased(range_min) AND
   biased(range_max)`` against a broadcast covering — literally
@@ -48,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, IntegerType, LongType, StructField, StructType
 
-from s2_geometry_library_java_spark.functions.native import ancestors_expr, biased
+from s2_geometry_library_java_spark.functions.native import ancestors_expr, biased, parent_expr
 from s2_geometry_library_java_spark.functions.udfs import s2_cell_id
 from s2_geometry_library_java_spark.operators.covering import covering_df, covering_levels, covering_rows, COVERING_SCHEMA
 from s2_geometry_library_java_spark.operators.layers import Layer
@@ -125,11 +134,23 @@ def assign_candidates(
             join_on = pts["_pkey"] == cells["_ckey"]
         else:
             join_on = pts["_anc"] == cells["_cover_cell"]
-        right = F.broadcast(cells) if broadcast_cells else cells
+        # Non-broadcast path: force a shuffled HASH join with the covering as
+        # the build side.  The default SMJ would SORT the exploded probe side
+        # (|levels| x fact rows — 1.66B rows at the 128M bench), which spills
+        # and dominates the leg: measured at 128M/32 cores the SMJ leg ran
+        # >600 s/rep vs 177.7 s with the hint (single-rep probe, r4).  Even
+        # hash-joined, the explode itself shuffles |levels|x the fact side —
+        # which is why "auto" routes non-broadcast requests to the PREFIX
+        # strategy below (one compact key per probe row) and this arm is kept
+        # only as the A/B comparison point.
+        right = F.broadcast(cells) if broadcast_cells else cells.hint("shuffle_hash")
         out = pts.join(right, join_on, "inner")
         return out.drop(
             "_anc", "_cover_cell", "_rmin", "_rmax", "_psalt", "_csalt", "_pkey", "_ckey"
         )
+
+    if strategy == "prefix":
+        raise ValueError("strategy='prefix' routes through prefix_candidates, not assign_candidates")
 
     if strategy == "range":
         b = biased(F.col(cell_col))
@@ -203,6 +224,106 @@ def stab_candidates(
         "_seg", F.coalesce(seg_of(F.col(cell_col)), F.lit(-1))
     )
     return pts.join(F.broadcast(seg_df), "_seg", "inner").drop("_seg")
+
+
+# Above this many DISTINCT covering prefixes, skip the driver-side IN-set
+# probe pre-filter (the literal list stops paying for itself in plan size);
+# the join alone is still exact.  At true cluster scale with a distributed
+# covering the same pruning arrives as a runtime bloom-filter join instead.
+PREFIX_IN_FILTER_MAX = 32768
+
+
+def _prefix_cover_rows(rows: list[tuple], prefix_level: int) -> list[tuple]:
+    """Replicate covering rows to their level-``prefix_level`` prefix cells.
+
+    A covering cell at level >= prefix_level maps to exactly ONE prefix (its
+    level-A ancestor, S2CellId.parent formula); a coarser cell spans
+    4^(A - level) level-A descendants (siblings are 2*lsb_A apart starting at
+    range_min + lsb_A - 1, S2CellId.java:302-338) and is replicated to each —
+    driver-side, bounded by the covering size x 4^A.  Returns
+    ``(prefix, polygon_id, range_min, range_max, is_interior)`` tuples; a
+    probe row matches at most one replica (its own prefix), so the join emits
+    no duplicates."""
+    lsb_a = 1 << (2 * (30 - prefix_level))
+    out: list[tuple] = []
+    for pid, cid, level, rmin, rmax, interior in rows:
+        lsb = cid & -cid
+        if level >= prefix_level:
+            out.append(((cid & -lsb_a) | lsb_a, pid, rmin, rmax, interior))
+        else:
+            first = cid - lsb + lsb_a
+            step = 2 * lsb_a
+            for i in range(lsb // lsb_a):
+                out.append((first + i * step, pid, rmin, rmax, interior))
+    return out
+
+
+def prefix_candidates(
+    points: DataFrame,
+    rows: list[tuple],
+    cell_col: str = "cell_id",
+    salt: int | None = None,
+    prefix_level: int = 4,
+) -> DataFrame:
+    """Candidate pairs via the PREFIX-PARTITIONED interval join — the
+    100-TB arm when the layer side is too big to broadcast.
+
+    The ancestor explode (assign_candidates) shuffles |levels| x the fact
+    side (1.66 B rows at the 128M bench -> 177.7 s even hash-joined); this
+    strategy shuffles the fact side ONCE, compactly: each probe row gets a
+    single level-A ancestor key (native bit math, no fan-out), the covering
+    is replicated driver-side to the same level-A prefixes
+    (_prefix_cover_rows), and the two meet in a shuffled HASH equi-join on
+    the packed BIGINT prefix with the exact interval containment
+    ``biased(cell) BETWEEN biased(range_min) AND biased(range_max)``
+    (S2CellUnion.contains, S2CellUnion.java:160-178) as the residual join
+    condition.  Because the covering prefix set is known driver-side, probe
+    rows outside every covering prefix are dropped BEFORE the shuffle by a
+    codegen'd IN-set filter — at cluster scale with a distributed covering
+    the same pruning is a runtime bloom-filter join.
+
+    ``prefix_level`` trades reducer-key cardinality (6*4^A populated cells
+    max) against coarse-cell replication (4^(A-L) per covering cell below
+    A); 4 suits local[32], 6-8 a 1000-executor cluster.  ``salt`` spreads a
+    hot prefix (a city-sized layer stack) over ``salt`` reducers by packing
+    ``xxhash64(leaf) % salt`` into the prefix's zero low bits — the key
+    stays a single radix-sortable BIGINT exactly as in assign_candidates."""
+    if salt and salt > (1 << (2 * (30 - prefix_level))):
+        raise ValueError(f"salt {salt} does not fit below the level-{prefix_level} lsb")
+    pref_rows = _prefix_cover_rows(rows, prefix_level)
+    prefixes = sorted({r[0] for r in pref_rows})
+
+    pts = points.withColumn("_pfx", parent_expr(F.col(cell_col), prefix_level))
+    if len(prefixes) <= PREFIX_IN_FILTER_MAX:
+        pts = pts.filter(F.col("_pfx").isin(prefixes))
+
+    spark = points.sparkSession
+    if salt:
+        cover = [
+            (pfx | s, pid, rmin, rmax, interior)
+            for (pfx, pid, rmin, rmax, interior) in pref_rows
+            for s in range(salt)
+        ]
+        pts = pts.withColumn(
+            "_pkey",
+            F.col("_pfx").bitwiseOR(F.pmod(F.xxhash64(F.col(cell_col)), F.lit(salt))),
+        )
+    else:
+        cover = pref_rows
+        pts = pts.withColumn("_pkey", F.col("_pfx"))
+    cover_df = spark.createDataFrame(
+        cover,
+        "_ckey bigint, polygon_id string, _rmin bigint, _rmax bigint, is_interior boolean",
+    )
+    b = biased(pts[cell_col])
+    out = pts.join(
+        cover_df.hint("shuffle_hash"),
+        (pts["_pkey"] == cover_df["_ckey"])
+        & (b >= biased(cover_df["_rmin"]))
+        & (b <= biased(cover_df["_rmax"])),
+        "inner",
+    )
+    return out.drop("_pfx", "_pkey", "_ckey", "_rmin", "_rmax")
 
 
 def membership_expr(
@@ -327,8 +448,8 @@ RANGE_BREAKEVEN_CELLS = 48
 # One budget separates all four cleanly.
 RANGE_WORK_BUDGET = 4_000_000_000
 # Above this the covering should not be broadcast at all (the segment table
-# grows with covering size and overlap); the shuffled ancestor join is the
-# strategy that scales to huge layer dimensions.
+# grows with covering size and overlap); the prefix-partitioned interval
+# join is the strategy that scales to huge layer dimensions.
 STAB_MAX_CELLS = 65536
 
 
@@ -351,12 +472,12 @@ def choose_strategy(
     ramp — large row counts or large coverings.  With no row hint, coverings
     over RANGE_BREAKEVEN_CELLS assume web-scale rows and take stab.
     Non-broadcastable coverings (huge layer dimensions) must use the
-    shuffled ancestor join — forced by the caller via
+    prefix-partitioned interval join — forced by the caller via
     broadcast_cells=False, or chosen here when the covering outgrows what a
     broadcast segment table should hold."""
     n_cells = len(covering)
     if n_cells > STAB_MAX_CELLS:
-        return "ancestor"
+        return "prefix"
     if n_rows is not None:
         return "range" if n_rows * n_cells <= RANGE_WORK_BUDGET else "stab"
     return "range" if n_cells <= RANGE_BREAKEVEN_CELLS else "stab"
@@ -442,10 +563,15 @@ def pip_join(
     )
     if strategy == "auto":
         if salt or not broadcast_cells:
-            strategy = "ancestor"
+            # beyond-broadcast layer side: the compact prefix-partitioned
+            # interval join, NOT the ancestor explode (13x the shuffle)
+            strategy = "prefix"
         else:
             strategy = choose_strategy(rows, covering_levels(rows), n_rows)
-    if strategy == "stab" and cell_col not in points.columns:
+    if strategy == "prefix":
+        pts = with_cell_id(points, lat_col, lng_col, cell_col)
+        cand = prefix_candidates(pts, rows, cell_col, salt)
+    elif strategy == "stab" and cell_col not in points.columns:
         cand = stab_candidates_fused(points, rows, lat_col, lng_col, cell_col)
     elif strategy == "stab":
         cand = stab_candidates(points, rows, cell_col)

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Round-4 A/B for the 100-TB join arm: the shuffled (non-broadcast)
-ancestor equi-join, with and without probe salting, against the broadcast
-interval-stab strategy — at 128M rows on a uniform corpus AND a skewed one
-(25% of rows in a ~0.003-degree hot box inside r_eu: one covering-cell key
-per level carries a quarter of the shuffle unless salted).
+"""Round-4 A/B for the 100-TB join arm (layer side beyond broadcast):
+the PREFIX-partitioned interval join (plain and salted) against both the
+old exploded-ancestor shuffle and the broadcast interval-stab baseline —
+at 128M rows on a uniform corpus AND a skewed one (25% of rows in a
+~0.003-degree hot box inside r_eu: one covering-cell key per level — and
+one level-4 prefix — carries a quarter of the shuffle unless salted).
 
 Fresh JVM per leg via bench.py (BENCH_ONLY_E2E, 2 warmups + best-of-3,
 the w12-w14 split-sizing recipe baked into bench.py).  One JSON line per
@@ -20,13 +21,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def leg(cpus: int, strategy: str, skew: float, n_images: int, salt: int = 8) -> dict:
+def leg(
+    cpus: int,
+    strategy: str,
+    skew: float,
+    n_images: int,
+    salt: int = 8,
+    warmups: int = 2,
+    reps: int = 3,
+) -> dict:
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ONLY_E2E="1",
         BENCH_N_IMAGES=str(n_images),
-        BENCH_WARMUPS="2",
+        BENCH_WARMUPS=str(warmups),
+        BENCH_E2E_REPS=str(reps),
         BENCH_PIP_STRATEGY=strategy,
         BENCH_PIP_SALT=str(salt),
         BENCH_SKEW_FRACTION=str(skew) if skew else "",
@@ -40,17 +50,31 @@ def leg(cpus: int, strategy: str, skew: float, n_images: int, salt: int = 8) -> 
     return {
         "cpus": cpus, "strategy": strategy, "skew": skew,
         "sec": d["queries"]["e2e_images"], "img_per_sec": d["images_per_sec"],
-        "manifest_rows": d.get("manifest_rows"),
+        "manifest_rows": d.get("manifest_rows"), "reps": reps,
     }
+
+
+# (strategy, skew, warmups, reps): the exploded-ancestor arm is ~15x the
+# others per rep, so it gets 1+2 (still best-of) while the rest keep the
+# campaign-standard 2+3.
+LEGS = [
+    ("stab", 0.0, 2, 3),
+    ("prefix_shuffled", 0.0, 2, 3),
+    ("prefix_salted", 0.0, 2, 3),
+    ("ancestor_shuffled", 0.0, 1, 2),
+    ("stab", 0.25, 2, 3),
+    ("prefix_shuffled", 0.25, 2, 3),
+    ("prefix_salted", 0.25, 2, 3),
+    ("ancestor_salted", 0.25, 1, 2),
+]
 
 
 def main() -> None:
     n_images = int(os.environ.get("AB_N_IMAGES", "128000000"))
     cpus = int(os.environ.get("AB_CPUS", "32"))
-    for skew in (0.0, 0.25):
-        for strategy in ("stab", "ancestor_shuffled", "ancestor_salted"):
-            r = leg(cpus, strategy, skew, n_images)
-            print(json.dumps(r), flush=True)
+    for strategy, skew, warmups, reps in LEGS:
+        r = leg(cpus, strategy, skew, n_images, warmups=warmups, reps=reps)
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ def points_pdf(points):
     return points.toPandas()
 
 
-@pytest.mark.parametrize("strategy", ["ancestor", "range", "stab"])
+@pytest.mark.parametrize("strategy", ["ancestor", "range", "stab", "prefix"])
 def test_pip_join_matches_bruteforce(points, points_pdf, strategy):
     layers = make_layers()
     result = pip_join(points, layers, strategy=strategy)
@@ -56,8 +56,38 @@ def test_pip_join_matches_bruteforce(points, points_pdf, strategy):
 
 
 def test_pip_join_salted_shuffle_same_rows(points, points_pdf):
+    # broadcast_cells=False + salt routes auto -> salted PREFIX join
     layers = make_layers()
     result = pip_join(points, layers, broadcast_cells=False, salt=4)
+    got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_pip_join_ancestor_shuffled_same_rows(points, points_pdf):
+    # the explicit exploded-ancestor shuffle arm (kept for A/B) + salt
+    layers = make_layers()
+    result = pip_join(points, layers, strategy="ancestor", broadcast_cells=False, salt=4)
+    got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
+    assert got == oracle_matches(points_pdf, layers)
+
+
+@pytest.mark.parametrize("prefix_level", [0, 2, 4, 6])
+def test_prefix_cover_rows_exact_replication(points, points_pdf, prefix_level):
+    """prefix_candidates must give the identical match set at every anchor
+    level, including A coarser than some covering cells (single-prefix arm)
+    and finer than all (replication arm)."""
+    from s2_geometry_library_java_spark.operators.covering import covering_rows
+    from s2_geometry_library_java_spark.operators.pip_join import (
+        prefix_candidates,
+        refine_candidates,
+        with_cell_id,
+    )
+
+    layers = make_layers()
+    rows = covering_rows(layers, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates(pts, rows, salt=2 if prefix_level else None, prefix_level=prefix_level)
+    result = refine_candidates(cand, layers)
     got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
     assert got == oracle_matches(points_pdf, layers)
 
