@@ -353,10 +353,21 @@ _Q_PIP_COUNTS_SQL = (
 
 
 def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same join as pip_join_rect but through the salted shuffled-hash path
-    (skew machinery, SURVEY.md §4 O15) — must produce identical rows."""
+    """Same join as pip_join_rect but through the SALTED prefix-partitioned
+    interval join (skew machinery, SURVEY.md §4 O15/round-4 note) — must
+    produce identical rows."""
     pts = geotagged_points(spark, sf_dir)
     m = pip_join(pts, RECT_LAYERS, broadcast_cells=False, salt=4)
+    return m.select("point_id", "polygon_id")
+
+
+def q_pip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast arm, unsalted: prefix-partitioned interval join
+    (SURVEY.md §4 round-4 note) over ALL layers — coarse-cell replication,
+    the antimeridian wrap rect, and the face-5 polar cap all through the
+    packed-BIGINT prefix equi-join with interval-containment residual."""
+    pts = geotagged_points(spark, sf_dir)
+    m = pip_join(pts, ALL_LAYERS, broadcast_cells=False)
     return m.select("point_id", "polygon_id")
 
 
@@ -2438,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
         "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
         "pip_join_salted": q_pip_salted,
+        "pip_join_prefix": q_pip_prefix,
         "caption_regions": q_caption_regions,
         "image_stats": q_image_stats,
         "tile_mosaic": q_tile_mosaic,
@@ -2510,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_poly": _pip_oracle(POLY_LAYERS),
         "pip_counts": _Q_PIP_COUNTS_SQL,
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
+        "pip_join_prefix": _pip_oracle(ALL_LAYERS),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),
         "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
         "caption_regions": _caption_regions_sql(),

@@ -232,6 +232,28 @@ def stab_candidates(
 # covering the same pruning arrives as a runtime bloom-filter join instead.
 PREFIX_IN_FILTER_MAX = 32768
 
+# Anchor-level bounds for the prefix join: the floor is the A/B-measured
+# local[32] setting; the cap bounds the driver-side coarse-cell replication
+# (4^(A-L) rows per covering cell coarser than A) and the worst-case
+# populated-prefix count (6*4^10 ~ 6.3M).
+PREFIX_LEVEL_FLOOR = 4
+PREFIX_LEVEL_CAP = 10
+
+
+def choose_prefix_level(shuffle_partitions: int) -> int:
+    """Anchor level A for prefix_candidates, derived from the shuffle width.
+
+    Reducer-key cardinality must comfortably exceed the shuffle partition
+    count or reducers sit idle; aim for ~8 worst-case prefix keys per
+    partition (6*4^A level-A cells).  local[32] -> the measured floor 4;
+    a 1000-executor cluster at ~2000 shuffle partitions -> 6, matching the
+    replication-vs-cardinality trade in the prefix_candidates docstring."""
+    target = 8 * shuffle_partitions
+    level = PREFIX_LEVEL_FLOOR
+    while level < PREFIX_LEVEL_CAP and 6 * (4 ** level) < target:
+        level += 1
+    return level
+
 
 def _prefix_cover_rows(rows: list[tuple], prefix_level: int) -> list[tuple]:
     """Replicate covering rows to their level-``prefix_level`` prefix cells.
@@ -263,7 +285,7 @@ def prefix_candidates(
     rows: list[tuple],
     cell_col: str = "cell_id",
     salt: int | None = None,
-    prefix_level: int = 4,
+    prefix_level: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via the PREFIX-PARTITIONED interval join — the
     100-TB arm when the layer side is too big to broadcast.
@@ -284,10 +306,18 @@ def prefix_candidates(
 
     ``prefix_level`` trades reducer-key cardinality (6*4^A populated cells
     max) against coarse-cell replication (4^(A-L) per covering cell below
-    A); 4 suits local[32], 6-8 a 1000-executor cluster.  ``salt`` spreads a
+    A); 4 suits local[32], 6-8 a 1000-executor cluster — when None it is
+    derived from spark.sql.shuffle.partitions (choose_prefix_level), so the
+    same call scales from the laptop to the cluster.  ``salt`` spreads a
     hot prefix (a city-sized layer stack) over ``salt`` reducers by packing
     ``xxhash64(leaf) % salt`` into the prefix's zero low bits — the key
     stays a single radix-sortable BIGINT exactly as in assign_candidates."""
+    if prefix_level is None:
+        try:
+            parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+            parts = 200
+        prefix_level = choose_prefix_level(parts)
     if salt and salt > (1 << (2 * (30 - prefix_level))):
         raise ValueError(f"salt {salt} does not fit below the level-{prefix_level} lsb")
     pref_rows = _prefix_cover_rows(rows, prefix_level)

@@ -45,8 +45,13 @@ def leg(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, timeout=3000,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        # surface the subprocess failure instead of dying on [-1]; the
+        # caller records the failed leg and moves on
+        sys.stderr.write(f"LEG FAILED {strategy} skew={skew}:\n{out.stderr[-2000:]}\n")
+        return {"cpus": cpus, "strategy": strategy, "skew": skew, "error": "bench crashed"}
+    d = json.loads(lines[-1])
     return {
         "cpus": cpus, "strategy": strategy, "skew": skew,
         "sec": d["queries"]["e2e_images"], "img_per_sec": d["images_per_sec"],
@@ -72,7 +77,8 @@ LEGS = [
 def main() -> None:
     n_images = int(os.environ.get("AB_N_IMAGES", "128000000"))
     cpus = int(os.environ.get("AB_CPUS", "32"))
-    for strategy, skew, warmups, reps in LEGS:
+    skip = int(os.environ.get("AB_SKIP_LEGS", "0"))  # resume a crashed campaign
+    for strategy, skew, warmups, reps in LEGS[skip:]:
         r = leg(cpus, strategy, skew, n_images, warmups=warmups, reps=reps)
         print(json.dumps(r), flush=True)
 

@@ -194,3 +194,16 @@ def test_distributed_covering_matches_driver(spark):
     ]
     expect = {tuple(r) for r in covering_rows(layers, max_level=12)}
     assert got == expect
+
+
+def test_choose_prefix_level_scales_with_partitions():
+    """The anchor level tracks reducer-key cardinality: ~8 keys per shuffle
+    partition, floored at the A/B-measured local[32] setting (4), capped so
+    coarse-cell replication stays driver-side cheap."""
+    from s2_geometry_library_java_spark.operators.pip_join import choose_prefix_level
+
+    assert choose_prefix_level(32) == 4          # local bench: floor wins
+    assert choose_prefix_level(150) == 4         # small cluster: floor still
+    assert choose_prefix_level(2000) == 6        # 1000-exec cluster: 6*4^6=24k >= 16k
+    assert choose_prefix_level(8000) == 7
+    assert choose_prefix_level(10**9) == 10      # capped
