@@ -226,6 +226,9 @@ def main() -> None:
                 )
             elif strat == "prefix_shuffled":
                 pip_kw.update(strategy="prefix", broadcast_cells=False)
+                lvl = os.environ.get("BENCH_PREFIX_LEVEL")
+                if lvl:
+                    pip_kw.update(prefix_level=int(lvl))
             elif strat == "prefix_salted":
                 pip_kw.update(
                     strategy="prefix",

@@ -577,6 +577,7 @@ def pip_join(
     salt: int | None = None,
     precomputed_cells: list[tuple] | None = None,
     n_rows: int | None = None,
+    prefix_level: int | None = None,
 ) -> DataFrame:
     """points x layers -> rows of points matched with ``polygon_id``.
 
@@ -600,7 +601,7 @@ def pip_join(
             strategy = choose_strategy(rows, covering_levels(rows), n_rows)
     if strategy == "prefix":
         pts = with_cell_id(points, lat_col, lng_col, cell_col)
-        cand = prefix_candidates(pts, rows, cell_col, salt)
+        cand = prefix_candidates(pts, rows, cell_col, salt, prefix_level)
     elif strategy == "stab" and cell_col not in points.columns:
         cand = stab_candidates_fused(points, rows, lat_col, lng_col, cell_col)
     elif strategy == "stab":
