@@ -207,3 +207,17 @@ def test_choose_prefix_level_scales_with_partitions():
     assert choose_prefix_level(2000) == 6        # 1000-exec cluster: 6*4^6=24k >= 16k
     assert choose_prefix_level(8000) == 7
     assert choose_prefix_level(10**9) == 10      # capped
+
+
+def test_prefix_in_filter_skip_branch(points, points_pdf, monkeypatch):
+    """When the covering has more distinct prefixes than PREFIX_IN_FILTER_MAX
+    the driver-side IN-set prune is skipped (at cluster scale a bloom filter
+    replaces it) — the join alone must still be exact."""
+    import importlib
+
+    pj = importlib.import_module("s2_geometry_library_java_spark.operators.pip_join")
+    monkeypatch.setattr(pj, "PREFIX_IN_FILTER_MAX", 1)
+    layers = make_layers()
+    result = pj.pip_join(points, layers, strategy="prefix", broadcast_cells=False)
+    got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
+    assert got == oracle_matches(points_pdf, layers)
