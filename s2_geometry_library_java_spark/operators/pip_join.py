@@ -584,10 +584,13 @@ def pip_join(
     ``strategy="auto"`` (default) applies the I2 cost model: coverings up to
     the measured breakeven take the zero-Python broadcast range join, larger
     broadcastable ones the vectorized interval-stab lookup; a shuffled or
-    salted request forces the ancestor equi-join (range/stab are
-    broadcast-only by construction).  ``n_rows`` is an optional fact-side
+    salted request — or a covering too big to broadcast — takes the
+    prefix-partitioned interval join (range/stab are broadcast-only by
+    construction; the exploded-ancestor arm remains only as an explicit
+    ``strategy="ancestor"`` A/B point).  ``n_rows`` is an optional fact-side
     row-count hint (exact or estimated) that lets the model keep small fact
-    tables on the range path above the cell breakeven."""
+    tables on the range path above the cell breakeven; ``prefix_level``
+    overrides the shuffle-width-derived anchor level of the prefix join."""
     spark = points.sparkSession
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
