@@ -371,6 +371,37 @@ def q_pip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("point_id", "polygon_id")
 
 
+# Constructor specs for ALL_LAYERS — the serializable layer dimension the
+# fully distributed prefix arm builds its covering from ON EXECUTORS
+# (covering_df_distributed -> prefix_candidates_df); must describe exactly
+# the geometry of ALL_LAYERS so the dist arm's oracle is _pip_oracle(ALL_LAYERS).
+ALL_LAYER_SPECS = [
+    {"polygon_id": "r_eu", "kind": "rect", "lat_lo": 35.0, "lng_lo": -10.0, "lat_hi": 60.0, "lng_hi": 30.0},
+    {"polygon_id": "r_wrap", "kind": "rect", "lat_lo": -20.0, "lng_lo": 160.0, "lat_hi": 20.0, "lng_hi": -160.0},
+    {"polygon_id": "r_band", "kind": "rect", "lat_lo": -15.0, "lng_lo": -60.0, "lat_hi": 15.0, "lng_hi": 60.0},
+    {"polygon_id": "c_nyc", "kind": "cap", "lat_deg": 40.7, "lng_deg": -74.0, "angle_deg": 18.0},
+    {"polygon_id": "c_spole", "kind": "cap", "lat_deg": -90.0, "lng_deg": 0.0, "angle_deg": 25.0},
+    {"polygon_id": "c_tokyo", "kind": "cap", "lat_deg": 35.7, "lng_deg": 139.7, "angle_deg": 12.0},
+    {"polygon_id": "l_tri", "kind": "loop", "dsl": "0:0, 0:40, 35:20"},
+    {"polygon_id": "p_hole", "kind": "polygon", "dsl": "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35"},
+]
+
+
+def q_pip_prefix_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully DISTRIBUTED 100-TB arm (round-5 task 1): the covering is
+    built executor-side by applyInPandas over the layer-spec dimension
+    (covering_df_distributed), replicated to level-A prefixes in native
+    sequence/explode SQL (prefix_cover_frame), probe-pruned by a broadcast
+    left-semi join — no covering row ever exists in driver Python.  Must
+    emit exactly the pip_join_prefix rows (identical oracle)."""
+    from s2_geometry_library_java_spark.operators.covering import covering_df_distributed
+
+    cover = covering_df_distributed(spark, ALL_LAYER_SPECS, max_cells=8, max_level=12)
+    pts = geotagged_points(spark, sf_dir)
+    m = pip_join(pts, ALL_LAYERS, covering_frame=cover)
+    return m.select("point_id", "polygon_id")
+
+
 def q_points_any_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI: points inside at least one layer (§2.7 semi join)."""
     from s2_geometry_library_java_spark.operators.pip_join import pip_semi_join
@@ -729,7 +760,9 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queries flow in as a DataFrame — no driver-side collect; the operator
     is one declarative cell-bucket join (I4 PointIndex blueprint)."""
     pts = geotagged_points(spark, sf_dir)
-    res = knn_join(pts, geotagged_queries(spark, sf_dir, limit=KNN_NQ), KNN_K)
+    res = knn_join(
+        pts, geotagged_queries(spark, sf_dir, limit=KNN_NQ), KNN_K, n_queries=KNN_NQ
+    )
     return res.select(
         F.col("query_id").cast("long").alias("query_id"), "point_id", "rank"
     )

@@ -299,7 +299,7 @@ def main() -> None:
         timed("tile_manifest", lambda: tile_manifest(matches, tile_level=6).count())
 
         qdf = geotagged_queries(spark, sf_dir, limit=8)
-        timed("knn", lambda: knn_join(enc, qdf, 10, n_points=n_points).count())
+        timed("knn", lambda: knn_join(enc, qdf, 10, n_points=n_points, n_queries=8).count())
 
         # snap-to-polyline over the full fact table (broadcast candidate
         # buckets; the fact side never shuffles) and the skew-balanced

@@ -28,18 +28,24 @@ deduping exact-location first (dedup_exact) or lowering the radius —
 the n-gram max_df lesson (`operators/dedup.py`), stated here so the
 operator's contract is explicit rather than silently quadratic.
 
-Hot-bucket note (city-density skew): a bucket is both sides' join key,
-so one dense city cell concentrates its k^2/2 candidate rows in a
-single shuffle task.  The pip salt path's trick (`pip_join.py`:
-replicate the SMALL side per salt, scatter the big side) applies
-directly here: salt the LEFT fact rows into s sub-buckets
-(pmod(hash(id_l), s)) and replicate the ring map s times, so one hot
-cell's candidate generation spreads over s tasks; the refine filter is
-unchanged because salting only splits the candidate stream.  Not
-enabled by default — at the default meters-scale radii a level-L cell
-is tens of meters wide and AQE's skew-join split handles the residual
-imbalance; turn it on (or dedup exact locations first) for corpora
-with single-point hot spots (stadium/landmark bursts).
+Hot-bucket skew (city-density): a bucket is both sides' join key, so
+one dense city cell concentrates its k^2/2 candidate rows in a single
+shuffle task.  ``salt=s`` spreads it with the pip packed-bit trick
+(`pip_join.py`): the LEFT rows split into s salt classes by
+pmod(xxhash64(id_l), s) packed into the bucket key's free low bits
+(a level-L key keeps the single radix-sortable BIGINT), the ring map
+replicates each (bucket, probe) edge to all s classes — carrying the
+class on BOTH its keys — and the RIGHT side explodes over the s
+classes so every left class still sees every right row.  A pair (l, r)
+meets exactly once (in l's class), so the output is bit-identical; the
+hot cell's k^2 candidate generation runs as s tasks of k^2/s.  Cost:
+the right side shuffles s x instead of 1x (left stays 1x) — the
+replicate-the-cheaper-side direction, since left fans out through the
+9-cell ring anyway.  Not enabled by default: at meters-scale radii
+AQE's skew-join split handles residual imbalance (the r4 pip
+measurement: AQE beat static salting); turn it on — or dedup exact
+locations first — for corpora with single-cell hot spots
+(stadium/landmark bursts) where one bucket dominates the corpus.
 """
 
 from __future__ import annotations
@@ -75,6 +81,7 @@ def geo_neardup_pairs(
     lng_col: str = "lng",
     hash_col: str = "phash",
     n_rows: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """(id_lo, id_hi, dist_nrad, hamming) for every pair within
     ``radius_rad`` on the sphere AND ``max_hamming`` phash bits.
@@ -87,8 +94,18 @@ def geo_neardup_pairs(
     broadcast cap for every level >= 8 (radius < ~23 km), i.e. exactly the
     realistic near-dup regime.  Pass the hint so meters-scale radii keep
     the broadcast plan while the bound stays a hard upper guard.
+
+    ``salt``: hot-bucket skew mitigation (see module docstring) — splits
+    the left side into ``salt`` classes packed into the bucket key's free
+    low bits, replicates the ring edge per class, explodes the right side
+    across classes.  Output is bit-identical to unsalted; use for corpora
+    where one cell holds a large fraction of all rows.
     """
     level = geo_block_level(radius_rad)
+    if salt and salt > (1 << (2 * (30 - level))):
+        raise ValueError(
+            f"salt {salt} does not fit below the level-{level} bucket lsb"
+        )
     # broadcast-only joins inherit the SCAN's parallelism: spread() guards
     # the compacted-small-input case (one row group -> one core) and no-ops
     # on a well-partitioned corpus
@@ -110,7 +127,10 @@ def geo_neardup_pairs(
     )
     # K21 one-ring over the distinct-bucket GRID only (one Python hop on
     # <= 6*4^L rows); ring is distinct per bucket, so downstream pairs are
-    # emitted exactly once — no dedup pass
+    # emitted exactly once — no dedup pass.  Built from UNSALTED buckets
+    # (the neighbor kernel needs real level-L ids); salt classes are packed
+    # in afterwards, on both ring keys at once so a left row's class rides
+    # through to the probe join.
     ring = (
         left.select("bucket")
         .distinct()
@@ -126,6 +146,23 @@ def geo_neardup_pairs(
             ).alias("probe"),
         )
     )
+    if salt:
+        salts = F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        ring = ring.withColumn("_s", salts).select(
+            F.col("bucket").bitwiseOR(F.col("_s")).alias("bucket"),
+            F.col("probe").bitwiseOR(F.col("_s")).alias("probe"),
+        )
+        left = left.withColumn(
+            "bucket",
+            F.col("bucket").bitwiseOR(F.pmod(F.xxhash64(F.col("id_l")), F.lit(salt))),
+        )
+        right = right.withColumn("_s", salts).select(
+            "id_r",
+            "lat_r",
+            "lng_r",
+            "h_r",
+            F.col("probe").bitwiseOR(F.col("_s")).alias("probe"),
+        )
     # broadcastability decided from the tightest known bound on POPULATED
     # buckets: the data-independent grid (6*4^L cells) intersected with the
     # corpus-size hint (distinct buckets <= rows).  No extra count job —
@@ -133,7 +170,7 @@ def geo_neardup_pairs(
     # still broadcast the tiny populated ring; without one, the grid bound
     # alone decides and deep levels fall through to the shuffled equi-join.
     populated_bound = 6 * 4**level if n_rows is None else min(n_rows, 6 * 4**level)
-    if 9 * populated_bound <= RING_BROADCAST_MAX:
+    if 9 * populated_bound * (salt or 1) <= RING_BROADCAST_MAX:
         ring = F.broadcast(ring)
     dist = haversine_expr(
         F.col("lat_l"), F.col("lng_l"), F.col("lat_r"), F.col("lng_r")

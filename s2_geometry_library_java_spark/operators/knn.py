@@ -26,14 +26,18 @@ take a driver-side Python list of queries):
    unresolved set is EMPTY, AQE's empty-relation propagation skips the
    probe-side scan entirely, so the common case pays zero for the fallback.
 
-ONE fact-side scan in the common case: the rung-1 candidate set (tiny by
-the radius derivation, ~target rows per query) is materialized eagerly via
-``localCheckpoint``, a single count over it decides resolution, and when
-every query resolved the returned plan is the top-k filter over the
-checkpoint alone — the re-probe rung and brute net are never even built
-(the round-4 fix for the regression where small corpora paid for the
-escalation machinery on every action).  No per-round driver round-trips,
-no ``.collect()`` of data rows anywhere.
+ONE fact-side scan in the common case: when the candidate set is KNOWN
+small (density-derived radius + known query count — see the ``materialize``
+contract in knn_join's docstring) the rung-1 candidates are materialized
+eagerly via ``localCheckpoint``, a single count over them decides
+resolution, and when every query resolved the returned plan is the top-k
+filter over the checkpoint alone — the re-probe rung and brute net are
+never even built (the round-4 fix for the regression where small corpora
+paid for the escalation machinery on every action).  With an unbounded
+candidate set (user radius, unhinted query frame) the plan stays fully
+lazy instead — checkpoints are non-reliable on a real cluster and must not
+pin data the lazy plan would stream.  No per-round driver round-trips, no
+``.collect()`` of data rows anywhere.
 """
 
 from __future__ import annotations
@@ -113,6 +117,15 @@ def radius_join(
 # would scan the whole corpus per action and is excluded.
 BRUTE_NET_MAX_ROWS = 10_000_000
 
+# "auto" eager-materialization bound: the rung-1 candidate set is pinned via
+# localCheckpoint only when its EXPECTED size — n_queries x the per-query
+# density target — is known to fit comfortably in executor memory.  Beyond
+# it (or when the query count / radius derivation is unknown) the plan stays
+# lazy: checkpoints are non-reliable (executor loss invalidates them on a
+# real cluster), so force-materializing an unbounded candidate set where the
+# lazy plan streamed would be a scale regression.
+EAGER_CANDIDATES_MAX = 5_000_000
+
 
 def knn_join(
     points: DataFrame,
@@ -124,13 +137,16 @@ def knn_join(
     init_radius_rad: float | None = None,
     n_points: int | None = None,
     brute_fallback: str = "auto",
+    n_queries: int | None = None,
+    materialize: str = "auto",
 ) -> DataFrame:
     """points x queries -> (query_id, point columns, dist, rank <= k).
 
     ``queries``: a DataFrame with (query_id, qlat, qlng), or a small legacy
     list of (query_id, qlat_deg, qlng_deg) tuples.  ``n_points`` sizes the
     search radius; when None it is counted (parquet metadata scan) — pass an
-    estimate on very large inputs.
+    estimate on very large inputs.  ``n_queries`` hints the query-set size
+    when ``queries`` is a DataFrame (a list's length is known directly).
 
     Unresolved queries (fewer than k in-radius candidates: sparse corners)
     escalate through a COARSER bucket re-probe (4x the radius, the
@@ -145,6 +161,24 @@ def knn_join(
     re-probe returns no rows (resolved-exactly-or-absent semantics) instead
     of triggering a 10^12-row scan.  "always"/"never" override.
     Plan-asserted in tests/test_knn_tiling.py.
+
+    EAGER-EXECUTION SEMANTICS (``materialize``): with ``"eager"`` this
+    function RUNS SPARK JOBS AT CONSTRUCTION TIME — the rung-1 candidate
+    set is pinned with a non-reliable ``localCheckpoint`` plus one count,
+    and when every query resolves on the first rung the returned plan reads
+    the checkpoint alone (one fact scan total; the r4 fast path).  The
+    checkpoint blocks survive only while their executors do, so on a real
+    cluster an executor loss after construction fails downstream actions.
+    ``"auto"`` (default) therefore takes the eager path only when the
+    candidate set is KNOWN small: the radius was density-derived (so the
+    expectation is ~target rows per query) AND the query count is known
+    (list input or ``n_queries`` hint) AND n_queries x target <=
+    EAGER_CANDIDATES_MAX.  Otherwise — user-supplied ``init_radius_rad``
+    (clustered corpora can blow the density expectation) or an unhinted
+    query DataFrame — the plan stays fully LAZY: the same window subtree
+    feeds every branch through Spark's exchange reuse, nothing executes
+    until the caller's action, and no checkpoint exists to lose.
+    ``"lazy"`` forces that plan unconditionally.
     """
     if brute_fallback not in ("auto", "always", "never"):
         # an unrecognized value must not silently behave as "never" — that
@@ -152,20 +186,35 @@ def knn_join(
         raise ValueError(
             f"brute_fallback must be 'auto', 'always', or 'never', got {brute_fallback!r}"
         )
+    if materialize not in ("auto", "eager", "lazy"):
+        raise ValueError(
+            f"materialize must be 'auto', 'eager', or 'lazy', got {materialize!r}"
+        )
+    if not isinstance(queries, DataFrame) and n_queries is None:
+        n_queries = len(queries)
     qdf = _as_query_df(points, queries)
     # No cache: the only eager action here is the (column-pruned) count; the
     # candidate and fallback branches are consumed by the caller's single
     # action, each as one scan of the pruned fact columns.
     pts = with_cell_id(points, lat_col, lng_col)
+    target = max(8.0 * k, 64.0)
+    radius_derived = init_radius_rad is None
     if init_radius_rad is None:
         if n_points is None:
             n_points = pts.count()
         # Density-derived radius: expected in-cap candidates for a
         # uniform corpus = n * h / 2 with cap height h = 1 - cos(r);
         # target >= 8k gives headroom so resolution rarely falls back.
-        target = max(8.0 * k, 64.0)
         h = min(2.0, 2.0 * target / max(n_points or 1, 1))
         init_radius_rad = math.acos(max(-1.0, 1.0 - h))
+    if materialize == "auto":
+        eager = (
+            radius_derived
+            and n_queries is not None
+            and n_queries * target <= EAGER_CANDIDATES_MAX
+        )
+    else:
+        eager = materialize == "eager"
     # A coverage level exists only while 2r <= MIN_WIDTH(0); beyond that
     # the 4-bucket invariant breaks, so clamp and let the fallback carry
     # the (tiny-corpus) remainder.
@@ -189,17 +238,18 @@ def knn_join(
 
     wq = Window.partitionBy("query_id")
     wrank = wq.orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    # Rank and the resolution count come off ONE window subtree, and that
-    # subtree is materialized EXACTLY ONCE (eager localCheckpoint): the
-    # in-radius candidate set is ~target rows per query (tiny by the radius
-    # derivation), so every consumer below — top-k rows, the resolution
-    # check, the re-probe anti-joins — reads the checkpoint instead of
-    # re-running the fact scan + bucket join + window.
-    ranked = (
-        cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq))
-        .withColumn("rank", F.row_number().over(wrank))
-        .localCheckpoint(eager=True)
+    # Rank and the resolution count come off ONE window subtree.  On the
+    # eager path that subtree is materialized EXACTLY ONCE (localCheckpoint,
+    # gated above on a known-small candidate bound): every consumer below —
+    # top-k rows, the resolution check, the re-probe anti-joins — reads the
+    # checkpoint instead of re-running the fact scan + bucket join + window.
+    # On the lazy path the identical subtree is shared through Spark's
+    # exchange reuse and nothing runs until the caller's action.
+    ranked = cand.withColumn("_n_in_r", F.count(F.lit(1)).over(wq)).withColumn(
+        "rank", F.row_number().over(wrank)
     )
+    if eager:
+        ranked = ranked.localCheckpoint(eager=True)
     main = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") <= k)).drop("_n_in_r")
 
     resolved_q = ranked.filter((F.col("_n_in_r") >= k) & (F.col("rank") == 1))
@@ -207,14 +257,14 @@ def knn_join(
 
     branches = [main]
 
-    # Short-circuit (round-4 knn regression fix): ONE tiny agg over the
-    # checkpointed candidates decides whether any query is unresolved.  The
-    # common case — every query finds >= k in-radius candidates on the first
-    # rung — then returns the main branch alone: no re-probe subtree, no
-    # brute net, no left_anti chains in the executed plan at all.  The agg
-    # costs a count over <= (queries x target) checkpointed rows, not a
-    # fact scan.
-    if unresolved.count() == 0:
+    # Short-circuit (round-4 knn regression fix, eager path only): ONE tiny
+    # agg over the checkpointed candidates decides whether any query is
+    # unresolved.  The common case — every query finds >= k in-radius
+    # candidates on the first rung — then returns the main branch alone: no
+    # re-probe subtree, no brute net, no left_anti chains in the executed
+    # plan at all.  The agg costs a count over <= (queries x target)
+    # checkpointed rows, not a fact scan.
+    if eager and unresolved.count() == 0:
         return main.select(*_dedup_out_cols(points))
 
     # Coarser re-probe rung: 4x radius (two levels up keeps the 4-bucket

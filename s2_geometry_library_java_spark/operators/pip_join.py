@@ -13,11 +13,16 @@ Two candidate-generation strategies, both images of reference index queries:
 
 - **prefix-partitioned interval join** (``strategy="prefix"``, the 100-TB
   arm, auto-chosen whenever the covering must not be broadcast): one
-  level-A ancestor key per probe row (no fan-out), covering replicated
-  driver-side to the same prefixes, shuffled hash equi-join on the packed
-  BIGINT prefix with exact interval containment as the residual condition,
-  plus a pre-shuffle IN-set prune of probe rows outside every covering
-  prefix.  See prefix_candidates.
+  level-A ancestor key per probe row (no fan-out), covering replicated to
+  the same prefixes, shuffled hash equi-join on the packed BIGINT prefix
+  with exact interval containment as the residual condition, plus a
+  pre-shuffle prune of probe rows outside every covering prefix (IN-set
+  literal while small, broadcast left-semi beyond).  Two forms:
+  ``prefix_candidates`` takes the driver-resident covering list;
+  ``prefix_candidates_df`` (``pip_join(covering_frame=...)``) takes a
+  covering DataFrame — e.g. built on executors by covering_df_distributed —
+  and keeps replication + pruning entirely DataFrame-native for huge layer
+  dimensions.
 
 - **range join**: ``biased(cell_id) BETWEEN biased(range_min) AND
   biased(range_max)`` against a broadcast covering — literally
@@ -226,11 +231,15 @@ def stab_candidates(
     return pts.join(F.broadcast(seg_df), "_seg", "inner").drop("_seg")
 
 
-# Above this many DISTINCT covering prefixes, skip the driver-side IN-set
-# probe pre-filter (the literal list stops paying for itself in plan size);
-# the join alone is still exact.  At true cluster scale with a distributed
-# covering the same pruning arrives as a runtime bloom-filter join instead.
-PREFIX_IN_FILTER_MAX = 32768
+# Above this many DISTINCT covering prefixes the probe pre-filter switches
+# from a codegen'd IN-set literal (cheapest while the analyzed plan stays
+# small — Spark folds the list into a hash set, but plan text and driver-side
+# literal handling get heavy well before the old 32k cap) to a broadcast
+# LEFT SEMI join on the distinct-prefix frame: still zero-Python, still
+# executed on the probe scan stage BEFORE the shuffle, and with no plan-size
+# blowup at any covering size — the middle rung between the literal list and
+# a runtime bloom filter.  Pruning therefore never turns off.
+PREFIX_IN_FILTER_MAX = 4096
 
 # Anchor-level bounds for the prefix join: the floor is the A/B-measured
 # local[32] setting; the cap bounds the driver-side coarse-cell replication
@@ -253,6 +262,15 @@ def choose_prefix_level(shuffle_partitions: int) -> int:
     while level < PREFIX_LEVEL_CAP and 6 * (4 ** level) < target:
         level += 1
     return level
+
+
+def _validate_prefix_level(prefix_level: int) -> None:
+    """Anchor level must be a real S2 level: outside 0..30 the lsb bit math
+    silently shifts by a negative amount (a cryptic runtime error at best)."""
+    if not 0 <= prefix_level <= 30:
+        raise ValueError(
+            f"prefix_level must be between 0 and 30 (S2 cell levels), got {prefix_level}"
+        )
 
 
 def _prefix_cover_rows(rows: list[tuple], prefix_level: int) -> list[tuple]:
@@ -318,16 +336,21 @@ def prefix_candidates(
         except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
             parts = 200
         prefix_level = choose_prefix_level(parts)
+    _validate_prefix_level(prefix_level)
     if salt and salt > (1 << (2 * (30 - prefix_level))):
         raise ValueError(f"salt {salt} does not fit below the level-{prefix_level} lsb")
     pref_rows = _prefix_cover_rows(rows, prefix_level)
     prefixes = sorted({r[0] for r in pref_rows})
 
+    spark = points.sparkSession
     pts = points.withColumn("_pfx", parent_expr(F.col(cell_col), prefix_level))
     if len(prefixes) <= PREFIX_IN_FILTER_MAX:
         pts = pts.filter(F.col("_pfx").isin(prefixes))
-
-    spark = points.sparkSession
+    else:
+        # middle rung past the IN-set band: broadcast left-semi on the
+        # distinct prefixes — same pre-shuffle pruning, no literal blowup
+        key_df = spark.createDataFrame(((p,) for p in prefixes), "_pfx bigint")
+        pts = pts.join(F.broadcast(key_df), "_pfx", "left_semi")
     if salt:
         cover = [
             (pfx | s, pid, rmin, rmax, interior)
@@ -351,6 +374,110 @@ def prefix_candidates(
         (pts["_pkey"] == cover_df["_ckey"])
         & (b >= biased(cover_df["_rmin"]))
         & (b <= biased(cover_df["_rmax"])),
+        "inner",
+    )
+    return out.drop("_pfx", "_pkey", "_ckey", "_rmin", "_rmax")
+
+
+def prefix_cover_frame(cover: DataFrame, prefix_level: int) -> DataFrame:
+    """DataFrame-native image of ``_prefix_cover_rows``: replicate covering
+    rows to their level-``prefix_level`` prefixes ENTIRELY in codegen'd SQL,
+    so a covering built on executors (covering_df_distributed) never funnels
+    through driver Python on its way into the prefix join.
+
+    Bit identities (all from the S2CellId formulas already in
+    functions/native.py): a covering cell at level >= A has one prefix, its
+    level-A ancestor ``(id & -lsb_A) | lsb_A`` (S2CellId.java:334-338); a
+    coarser cell spans its ``lsb/lsb_A`` level-A descendants, which are an
+    arithmetic progression — first ``id - lsb + lsb_A``, last
+    ``id + lsb - lsb_A``, step ``2*lsb_A`` (sibling spacing,
+    S2CellId.java:302-338) — generated with ``sequence()`` + ``explode()``.
+    Input: the COVERING_SCHEMA frame; output columns
+    ``(_pfx, polygon_id, _rmin, _rmax, is_interior)``."""
+    _validate_prefix_level(prefix_level)
+    lsb_a = 1 << (2 * (30 - prefix_level))
+    cid = F.col("cell_id")
+    lsb = cid.bitwiseAND(-cid)
+    ancestor = F.array(cid.bitwiseAND(F.lit(-lsb_a)).bitwiseOR(F.lit(lsb_a)))
+    siblings = F.sequence(
+        cid - lsb + F.lit(lsb_a), cid + lsb - F.lit(lsb_a), F.lit(2 * lsb_a)
+    )
+    # CaseWhen codegen evaluates only the taken branch, so the sequence's
+    # first>last case never executes for deeper-than-A cells
+    pfx = F.when(lsb <= F.lit(lsb_a), ancestor).otherwise(siblings)
+    return cover.select(
+        F.explode(pfx).alias("_pfx"),
+        F.col("polygon_id"),
+        F.col("range_min").alias("_rmin"),
+        F.col("range_max").alias("_rmax"),
+        F.col("is_interior"),
+    )
+
+
+def prefix_candidates_df(
+    points: DataFrame,
+    cover: DataFrame,
+    cell_col: str = "cell_id",
+    salt: int | None = None,
+    prefix_level: int | None = None,
+) -> DataFrame:
+    """The prefix-partitioned interval join with a DataFrame covering — the
+    fully distributed 100-TB arm.
+
+    Same join shape as ``prefix_candidates`` (one compact level-A ancestor
+    key per probe row, shuffled hash equi-join, exact interval containment
+    residual, optional packed-bit salt), but the covering side is a
+    DataFrame in COVERING_SCHEMA shape — e.g. the executor-built output of
+    ``covering_df_distributed`` — so a 100k-layer dimension never touches
+    driver Python: prefix replication runs as native ``sequence``/``explode``
+    (prefix_cover_frame) and probe pruning is a broadcast LEFT SEMI join on
+    the distinct prefixes (no literal IN list at any covering size).
+
+    The semi-join prune consumes the covering subtree a second time (once
+    for the distinct keys, once as the join build side); when the covering
+    is expensive to build (applyInPandas coverer over many layers), persist
+    or checkpoint ``cover`` before calling — the frame is small (the layer
+    dimension), so caching it is the cluster-scale posture anyway."""
+    if prefix_level is None:
+        try:
+            parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            parts = 200
+        prefix_level = choose_prefix_level(parts)
+    _validate_prefix_level(prefix_level)
+    if salt and salt > (1 << (2 * (30 - prefix_level))):
+        raise ValueError(f"salt {salt} does not fit below the level-{prefix_level} lsb")
+
+    pref = prefix_cover_frame(cover, prefix_level)
+    pts = points.withColumn("_pfx", parent_expr(F.col(cell_col), prefix_level))
+    # pre-shuffle probe prune: rows outside every covering prefix never enter
+    # the exchange (broadcast semi executes on the probe scan stage)
+    pts = pts.join(F.broadcast(pref.select("_pfx").distinct()), "_pfx", "left_semi")
+
+    if salt:
+        pref = pref.withColumn(
+            "_csalt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        cover_keyed = pref.select(
+            F.col("_pfx").bitwiseOR(F.col("_csalt")).alias("_ckey"),
+            "polygon_id",
+            "_rmin",
+            "_rmax",
+            "is_interior",
+        )
+        pts = pts.withColumn(
+            "_pkey",
+            F.col("_pfx").bitwiseOR(F.pmod(F.xxhash64(F.col(cell_col)), F.lit(salt))),
+        )
+    else:
+        cover_keyed = pref.withColumnRenamed("_pfx", "_ckey")
+        pts = pts.withColumn("_pkey", F.col("_pfx"))
+    b = biased(pts[cell_col])
+    out = pts.join(
+        cover_keyed.hint("shuffle_hash"),
+        (pts["_pkey"] == cover_keyed["_ckey"])
+        & (b >= biased(cover_keyed["_rmin"]))
+        & (b <= biased(cover_keyed["_rmax"])),
         "inner",
     )
     return out.drop("_pfx", "_pkey", "_ckey", "_rmin", "_rmax")
@@ -578,6 +705,7 @@ def pip_join(
     precomputed_cells: list[tuple] | None = None,
     n_rows: int | None = None,
     prefix_level: int | None = None,
+    covering_frame: DataFrame | None = None,
 ) -> DataFrame:
     """points x layers -> rows of points matched with ``polygon_id``.
 
@@ -590,8 +718,22 @@ def pip_join(
     ``strategy="ancestor"`` A/B point).  ``n_rows`` is an optional fact-side
     row-count hint (exact or estimated) that lets the model keep small fact
     tables on the range path above the cell breakeven; ``prefix_level``
-    overrides the shuffle-width-derived anchor level of the prefix join."""
+    overrides the shuffle-width-derived anchor level of the prefix join.
+
+    ``covering_frame``: an already-built covering DataFrame in
+    COVERING_SCHEMA shape (typically ``covering_df_distributed`` over a huge
+    layer dimension, with coverer params matching this call's) — routes to
+    the fully distributed prefix arm (prefix_candidates_df): covering
+    replication and probe pruning stay DataFrame-native, nothing flows
+    through driver Python.  ``layers`` still supplies the exact refine
+    predicates."""
     spark = points.sparkSession
+    if covering_frame is not None:
+        if strategy not in ("auto", "prefix"):
+            raise ValueError("covering_frame requires the prefix strategy")
+        pts = with_cell_id(points, lat_col, lng_col, cell_col)
+        cand = prefix_candidates_df(pts, covering_frame, cell_col, salt, prefix_level)
+        return refine_candidates(cand, layers, lat_col, lng_col).drop("is_interior")
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod
     )

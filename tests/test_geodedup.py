@@ -102,3 +102,43 @@ def test_plan_has_no_all_pairs_join(spark, pts):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # refine is fully native
+
+
+@pytest.mark.parametrize("salt", [2, 8])
+def test_salted_pairs_bit_identical(spark, pts, salt):
+    """The packed-bit hot-bucket salt must not change the pair set: every
+    (l, r) pair still meets exactly once (in l's salt class), and the refine
+    filters are untouched."""
+    df, lat, lng, ph = pts
+    base = {(r.id_lo, r.id_hi, r.dist_nrad, r.hamming) for r in geo_neardup_pairs(df, RADIUS, MAX_HAM).collect()}
+    salted_rows = geo_neardup_pairs(df, RADIUS, MAX_HAM, salt=salt).collect()
+    salted = {(r.id_lo, r.id_hi, r.dist_nrad, r.hamming) for r in salted_rows}
+    assert len(salted) == len(salted_rows)  # no pair emitted twice
+    assert salted == base and base
+
+
+def test_salted_hot_bucket_pairs(spark):
+    """Hot-spot corpus (one cell holds most rows, jittered so leaf ids stay
+    distinct): salted output equals unsalted on the exact shape salting
+    exists for."""
+    rng = np.random.default_rng(11)
+    n = 800
+    lat = np.where(np.arange(n) % 4 == 0, -90.0 + 180.0 * rng.random(n), 48.0 + 0.003 * rng.random(n))
+    lng = np.where(np.arange(n) % 4 == 0, -180.0 + 360.0 * rng.random(n), 10.0 + 0.003 * rng.random(n))
+    cells = ck.from_latlng_degrees(lat, lng).view(np.int64)
+    ph = (np.arange(n) * 40503) % 65536
+    df = spark.createDataFrame(
+        [(int(k), float(a), float(o), int(c), int(h)) for k, a, o, c, h in zip(range(n), lat, lng, cells, ph)],
+        "point_id long, lat double, lng double, cell_id long, phash long",
+    )
+    base = {(r.id_lo, r.id_hi) for r in geo_neardup_pairs(df, 0.01, 8).collect()}
+    salted = {(r.id_lo, r.id_hi) for r in geo_neardup_pairs(df, 0.01, 8, salt=8).collect()}
+    assert salted == base and len(base) > 100
+
+
+def test_salt_overflow_rejected(spark, pts):
+    df, _, _, _ = pts
+    lvl = geo_block_level(RADIUS)
+    too_big = (1 << (2 * (30 - lvl))) + 1
+    with pytest.raises(ValueError, match="salt"):
+        geo_neardup_pairs(df, RADIUS, MAX_HAM, salt=too_big)

@@ -121,6 +121,59 @@ def test_knn_k_larger_than_n(spark, points):
     assert res.count() == 3
 
 
+def test_knn_eager_gating(spark, sf_dir, points):
+    """materialize='auto' pins the rung-1 candidates (localCheckpoint shows
+    as an RDD scan in the plan) ONLY when the candidate bound is known
+    small: density-derived radius + known query count.  A user-supplied
+    radius or an unhinted query DataFrame must stay lazy — checkpoints are
+    non-reliable on a real cluster and must not pin unbounded candidate
+    sets.  Both paths return identical rows."""
+
+    import re
+
+    def has_checkpoint_scan(df) -> bool:
+        # the checkpointed candidate subtree scans an RDD whose schema
+        # carries the window columns; a plain createDataFrame query-side
+        # scan does not
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return any(
+            "_n_in_r" in cols
+            for cols in re.findall(r"Scan ExistingRDD[^\[]*\[([^\]]*)\]", plan)
+        )
+
+    queries = [
+        (r["query_id"], r["qlat"], r["qlng"])
+        for r in geotagged_queries(spark, sf_dir, limit=4).collect()
+    ]
+    # list input, derived radius: bound known -> eager
+    eager = knn_join(points, queries, 5)
+    assert has_checkpoint_scan(eager)
+    # user radius: expectation can blow up on clustered corpora -> lazy
+    lazy_r = knn_join(points, queries, 5, init_radius_rad=0.3)
+    assert not has_checkpoint_scan(lazy_r)
+    # unhinted query DataFrame: count unknown -> lazy
+    qdf = geotagged_queries(spark, sf_dir, limit=4)
+    lazy_q = knn_join(points, qdf, 5)
+    assert not has_checkpoint_scan(lazy_q)
+    # hinted query DataFrame: bound known -> eager again
+    hinted = knn_join(points, qdf, 5, n_queries=4)
+    assert has_checkpoint_scan(hinted)
+    # explicit override wins over the hint
+    forced_lazy = knn_join(points, qdf, 5, n_queries=4, materialize="lazy")
+    assert not has_checkpoint_scan(forced_lazy)
+
+    key = lambda df: {
+        (str(r["query_id"]), r["point_id"], r["rank"])
+        for r in df.select("query_id", "point_id", "rank").collect()
+    }
+    expect = key(eager)
+    assert expect and key(lazy_q) == expect and key(hinted) == expect
+    assert key(forced_lazy) == expect
+
+    with pytest.raises(ValueError, match="materialize"):
+        knn_join(points, queries, 5, materialize="Eager")
+
+
 # ---------------------------------------------------------------------------
 # Tiling & resume
 # ---------------------------------------------------------------------------

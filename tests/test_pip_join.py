@@ -209,15 +209,46 @@ def test_choose_prefix_level_scales_with_partitions():
     assert choose_prefix_level(10**9) == 10      # capped
 
 
-def test_prefix_in_filter_skip_branch(points, points_pdf, monkeypatch):
+def test_prefix_in_filter_semi_join_branch(points, points_pdf, monkeypatch):
     """When the covering has more distinct prefixes than PREFIX_IN_FILTER_MAX
-    the driver-side IN-set prune is skipped (at cluster scale a bloom filter
-    replaces it) — the join alone must still be exact."""
+    the probe prune switches from the IN-set literal to a broadcast LEFT SEMI
+    join on the distinct prefixes — still pruning before the shuffle, still
+    exact, with no literal list in the plan."""
     import importlib
 
     pj = importlib.import_module("s2_geometry_library_java_spark.operators.pip_join")
     monkeypatch.setattr(pj, "PREFIX_IN_FILTER_MAX", 1)
     layers = make_layers()
     result = pj.pip_join(points, layers, strategy="prefix", broadcast_cells=False)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the middle-rung prune is in the executed plan
+    assert " IN (" not in plan  # and the literal IN-set is gone
     got = {(int(r["point_id"]), r["polygon_id"]) for r in result.select("point_id", "polygon_id").collect()}
     assert got == oracle_matches(points_pdf, layers)
+
+
+def test_prefix_level_range_validated(points):
+    """Explicit anchor levels outside 0..30 must fail with a clear error,
+    not a cryptic negative-shift deep in the bit math."""
+    from s2_geometry_library_java_spark.operators.covering import covering_rows
+    from s2_geometry_library_java_spark.operators.pip_join import (
+        prefix_candidates,
+        prefix_candidates_df,
+        prefix_cover_frame,
+        with_cell_id,
+    )
+
+    layers = make_layers()
+    rows = covering_rows(layers, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    spark = points.sparkSession
+    from s2_geometry_library_java_spark.operators.covering import covering_df
+
+    cover = covering_df(spark, layers, max_cells=8, max_level=12)
+    for bad in (-1, 31, 99):
+        with pytest.raises(ValueError, match="prefix_level"):
+            prefix_candidates(pts, rows, prefix_level=bad)
+        with pytest.raises(ValueError, match="prefix_level"):
+            prefix_candidates_df(pts, cover, prefix_level=bad)
+        with pytest.raises(ValueError, match="prefix_level"):
+            prefix_cover_frame(cover, bad)

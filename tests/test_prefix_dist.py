@@ -1,0 +1,135 @@
+"""The fully distributed prefix join arm (round-5 task 1): covering built on
+executors (covering_df_distributed), replicated to prefixes in native SQL
+(prefix_cover_frame), probe-pruned via broadcast left-semi — byte-identical
+match sets to the driver-list arm, with plan assertions that nothing flows
+through driver Python and no literal IN-list exists at any covering size.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators.covering import (
+    covering_df,
+    covering_df_distributed,
+    covering_rows,
+)
+from s2_geometry_library_java_spark.operators.pip_join import (
+    _prefix_cover_rows,
+    pip_join,
+    prefix_candidates,
+    prefix_candidates_df,
+    prefix_cover_frame,
+    refine_candidates,
+    with_cell_id,
+)
+from s2_geometry_library_java_spark.sources.tables import geotagged_points
+
+from tests.test_pip_join import make_layers, oracle_matches
+
+LAYER_SPECS = [
+    {"polygon_id": "r_europe", "kind": "rect", "lat_lo": 35.0, "lng_lo": -10.0, "lat_hi": 60.0, "lng_hi": 30.0},
+    {"polygon_id": "r_wrap", "kind": "rect", "lat_lo": -20.0, "lng_lo": 160.0, "lat_hi": 20.0, "lng_hi": -160.0},
+    {"polygon_id": "c_nyc", "kind": "cap", "lat_deg": 40.7, "lng_deg": -74.0, "angle_deg": 15.0},
+    {"polygon_id": "c_spole", "kind": "cap", "lat_deg": -90.0, "lng_deg": 0.0, "angle_deg": 20.0},
+    {"polygon_id": "l_tri", "kind": "loop", "dsl": "0:0, 0:40, 35:20"},
+    {"polygon_id": "p_hole", "kind": "polygon", "dsl": "-5:-5, -5:45, 40:45, 40:-5; 5:5, 25:20, 5:35"},
+]
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return geotagged_points(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def points_pdf(points):
+    return points.toPandas()
+
+
+@pytest.mark.parametrize("prefix_level", [0, 2, 4, 6])
+def test_prefix_cover_frame_equals_driver_rows(spark, prefix_level):
+    """Native sequence/explode replication == the driver-loop replication
+    for every covering row shape (coarser than A, equal to A, deeper)."""
+    layers = make_layers()
+    rows = covering_rows(layers, max_cells=8, max_level=12)
+    cover = covering_df(spark, layers, max_cells=8, max_level=12)
+    got = {
+        (r["_pfx"], r["polygon_id"], r["_rmin"], r["_rmax"], r["is_interior"])
+        for r in prefix_cover_frame(cover, prefix_level).collect()
+    }
+    expect = set(_prefix_cover_rows(rows, prefix_level))
+    assert got == expect
+
+
+@pytest.mark.parametrize("salt", [None, 4])
+def test_prefix_df_matches_bruteforce_and_list_arm(spark, points, points_pdf, salt):
+    """pip_join(covering_frame=distributed covering) must equal both the
+    brute-force oracle and the driver-list prefix arm."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    result = pip_join(points, layers, covering_frame=cover, salt=salt)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+    list_arm = pip_join(points, layers, strategy="prefix", broadcast_cells=False, salt=salt)
+    expect = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in list_arm.select("point_id", "polygon_id").collect()
+    }
+    assert got == expect
+
+
+def test_prefix_df_plan_is_fully_distributed(spark, points):
+    """Plan pins for the 100-TB arm (round-5 done criterion): the covering is
+    built executor-side (FlatMapGroupsInPandas in the plan), probe pruning is
+    a broadcast left-semi (no literal IN list anywhere), and the candidate
+    join is the shuffled-hash equi-join — no driver-side replication exists
+    because the plan consumes the covering scan directly."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # covering built on executors
+    assert "LeftSemi" in plan  # broadcast-semi probe prune
+    assert " IN (" not in plan  # no literal prefix list
+    assert "ShuffledHashJoin" in plan  # the prefix equi-join arm
+    # the covering never materializes on the driver: no LocalTableScan of
+    # prefix rows feeds the join (the only local scan is the 6-row spec table)
+    import re
+
+    local_scans = re.findall(r"LocalTableScan \[([^\]]*)\]", plan)
+    for cols in local_scans:
+        assert "_ckey" not in cols and "_rmin" not in cols
+
+
+def test_prefix_df_salted_packs_key_bits(spark, points, points_pdf):
+    """Salt must not change the match set and must keep the join key a single
+    BIGINT (radix-sortable — the [[smj-radix-single-key]] discipline)."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, salt=4, prefix_level=4)
+    result = refine_candidates(cand, layers)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_prefix_df_salt_overflow_rejected(spark, points):
+    layers = make_layers()
+    cover = covering_df(spark, layers, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    with pytest.raises(ValueError, match="salt"):
+        prefix_candidates_df(pts, cover, salt=2, prefix_level=30)
+
+
+def test_covering_frame_rejects_other_strategies(spark, points):
+    layers = make_layers()
+    cover = covering_df(spark, layers, max_cells=8, max_level=12)
+    with pytest.raises(ValueError, match="prefix"):
+        pip_join(points, layers, covering_frame=cover, strategy="range")
