@@ -1365,6 +1365,21 @@ def q_geo_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_neardup_pairs(pts, GEO_NEARDUP_RADIUS, GEO_NEARDUP_HAMMING)
 
 
+def q_geo_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket salted path of geo_neardup_pairs (round-5 task 4):
+    left salt classes packed into the bucket key, ring edges replicated per
+    class, right side exploded — must emit bit-identical pairs to the
+    unsalted plan, gated by the same brute all-pairs oracle."""
+    from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
+
+    pts = (
+        with_cell_id(geotagged_points(spark, sf_dir))
+        .filter(F.col("point_id") % GEO_NEARDUP_MOD == 0)
+        .withColumn("phash", (F.col("point_id") * F.lit(40503)) % F.lit(65536))
+    )
+    return geo_neardup_pairs(pts, GEO_NEARDUP_RADIUS, GEO_NEARDUP_HAMMING, salt=4)
+
+
 def _oracle_geo_neardup_sql() -> str:
     """Brute all-pairs recompute: every candidate-generation decision in the
     plan (blocking level, neighbor ring, pair dedup) is independently checked
@@ -2444,70 +2459,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's CORRECTNESS capture window.
 
-    The driver records the first 50 entries (dict order) in CORRECTNESS_r{N}.json.
-    Round-4 ordering rule (VERDICT round 3, "Next round" #1): entries that have
-    never had a driver row lead the dict; long-stable queries whose operator
-    coverage heavily overlaps in-window entries (cellid bit ops vs sql_api,
-    pip rect/cap vs poly/range/stab/salted, sig queries vs pair queries) rotate
-    to positions 51-70 — they remain green in CORRECTNESS_r03.json and in
-    scripts/check_driver_contract.py, which runs the identical oracle over ALL
-    entries regardless of position.
+    The driver records the first 50 entries (dict order) in
+    CORRECTNESS_r{N}.json; the registry holds more than 50, so entries
+    ROTATE on a two-round schedule (VERDICT round 4, "Next round" #2):
+
+    - Round N: positions 1..50 get driver rows; positions 51+ sit out.
+    - Round N+1: the sat-out block moves to the FRONT of the dict (plus any
+      new queries), and enough round-N-certified entries move behind the
+      window to make room.  Every entry is therefore driver-certified in at
+      least one of any two consecutive rounds, and
+      scripts/check_driver_contract.py runs the identical oracle over ALL
+      entries regardless of position (its full-coverage artifact is
+      committed per round as BENCH/r{N}_contract_full.txt).
+
+    Round-5 ordering: the 21 queries outside the r4 window (cellid/token
+    bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
+    text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
+    the two NEW round-5 queries (pip_join_prefix_dist, geo_neardup_salted),
+    then 27 r4-certified entries; the 23 r4-certified entries behind the
+    window (streams, ANN/embedding block, polygon assembly, modalities,
+    time-series) re-enter the window in round 6 by the same rule.
     """
     return {
-        # --- never driver-certified before round 4: keep inside the window ---
-        "simplify_traj": q_simplify_traj,
-        "geo_neardup": q_geo_neardup,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "time_rollup": q_time_rollup,
-        "sample_splits": q_sample_splits,
-        "token_shards": q_token_shards,
-        "corpus_prep": q_corpus_prep,
-        "stream_tile_counts": q_stream_tile_counts,
-        "stream_geofence": q_stream_geofence,
-        "stream_dedup": q_stream_dedup,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "embed_neardup": q_embed_neardup,
-        "embed_clusters": q_embed_clusters,
-        "event_sessions": q_event_sessions,
-        "boundary_rings": q_boundary_rings,
-        "polygon_boolops": q_polygon_boolops,
-        "polygon_relations": q_polygon_relations,
-        # --- r3-green entries kept in-window (one per operator family) ---
-        "sql_api": q_sql_api,
-        "encode_rollup": q_encode_rollup,
-        "pip_join_poly": _pip_query(POLY_LAYERS),
-        "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
-        "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
-        "pip_join_salted": q_pip_salted,
-        "pip_join_prefix": q_pip_prefix,
-        "caption_regions": q_caption_regions,
-        "image_stats": q_image_stats,
-        "tile_mosaic": q_tile_mosaic,
-        "audio_stats": q_audio_stats,
-        "video_frames": q_video_frames,
-        "tile_manifest": q_tile_manifest,
-        "layout_prune": q_layout_prune,
-        "density_smooth": q_density_smooth,
-        "snap_roads": q_snap_roads,
-        "adaptive_tiles": q_adaptive_tiles,
-        "knn": q_knn,
-        "radius_join": q_radius_join,
-        "covering_golden": q_covering_golden,
-        "loop_area_centroid": q_loop_area_centroid,
-        "edge_crossings": q_edge_crossings,
-        "cellunion_setops": q_cellunion_setops,
-        "minhash_pairs": q_minhash_pairs,
-        "neardup_collapse": q_neardup_collapse,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "quality_repetition": q_quality_repetition,
-        "decontaminate": q_decontaminate,
-        "trajectory_stats": q_trajectory_stats,
-        "bounding_caps": q_bounding_caps,
-        # --- rotated behind the window (r3-green; coverage overlaps above) ---
+        # --- rotated IN: outside the r4 window, driver-certified r3 (and by
+        # --- the committed full contract runs at the r4 + r5 HEADs) ---
         "cellid_bitops": q_cellid_bitops,
         "cellid_token": q_cellid_token,
         "distinct_cells": q_distinct_cells,
@@ -2528,6 +2503,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_neighbors": q_cell_neighbors,
         "polyline_ops": q_polyline_ops,
         "dedup_exact": q_dedup_exact,
+        "bounding_caps": q_bounding_caps,
+        # --- NEW in round 5 ---
+        "pip_join_prefix_dist": q_pip_prefix_dist,
+        "geo_neardup_salted": q_geo_neardup_salted,
+        # --- r4-certified entries kept in-window (operator-family spread) ---
+        "sql_api": q_sql_api,
+        "encode_rollup": q_encode_rollup,
+        "pip_join_poly": _pip_query(POLY_LAYERS),
+        "pip_join_range": _pip_query(NATIVE_LAYERS, strategy="range"),
+        "pip_join_stab": _pip_query(ALL_LAYERS, strategy="stab"),
+        "pip_join_salted": q_pip_salted,
+        "pip_join_prefix": q_pip_prefix,
+        "knn": q_knn,
+        "radius_join": q_radius_join,
+        "geo_neardup": q_geo_neardup,
+        "covering_golden": q_covering_golden,
+        "edge_crossings": q_edge_crossings,
+        "cellunion_setops": q_cellunion_setops,
+        "loop_area_centroid": q_loop_area_centroid,
+        "tile_manifest": q_tile_manifest,
+        "layout_prune": q_layout_prune,
+        "density_smooth": q_density_smooth,
+        "snap_roads": q_snap_roads,
+        "adaptive_tiles": q_adaptive_tiles,
+        "minhash_pairs": q_minhash_pairs,
+        "neardup_collapse": q_neardup_collapse,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_repetition": q_quality_repetition,
+        "decontaminate": q_decontaminate,
+        "trajectory_stats": q_trajectory_stats,
+        "caption_regions": q_caption_regions,
+        # --- rotated BEHIND the window (r4-green; back in-window round 6) ---
+        "simplify_traj": q_simplify_traj,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
+        "sample_splits": q_sample_splits,
+        "token_shards": q_token_shards,
+        "corpus_prep": q_corpus_prep,
+        "stream_tile_counts": q_stream_tile_counts,
+        "stream_geofence": q_stream_geofence,
+        "stream_dedup": q_stream_dedup,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "embed_neardup": q_embed_neardup,
+        "embed_clusters": q_embed_clusters,
+        "event_sessions": q_event_sessions,
+        "boundary_rings": q_boundary_rings,
+        "polygon_boolops": q_polygon_boolops,
+        "polygon_relations": q_polygon_relations,
+        "image_stats": q_image_stats,
+        "tile_mosaic": q_tile_mosaic,
+        "audio_stats": q_audio_stats,
+        "video_frames": q_video_frames,
     }
 
 
@@ -2556,6 +2587,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_counts": _Q_PIP_COUNTS_SQL,
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
         "pip_join_prefix": _pip_oracle(ALL_LAYERS),
+        "pip_join_prefix_dist": _pip_oracle(ALL_LAYERS),
+        "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),
         "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
         "caption_regions": _caption_regions_sql(),

@@ -235,6 +235,21 @@ def main() -> None:
                     broadcast_cells=False,
                     salt=int(os.environ.get("BENCH_PIP_SALT", "8")),
                 )
+            elif strat == "prefix_dist":
+                # the fully distributed arm: executor-built covering frame,
+                # native prefix replication, broadcast-semi probe prune
+                from __spark_entry__ import ALL_LAYER_SPECS
+                from s2_geometry_library_java_spark.operators.covering import (
+                    covering_df_distributed,
+                )
+
+                cover = covering_df_distributed(
+                    spark, ALL_LAYER_SPECS, max_cells=8, max_level=12
+                )
+                pip_kw = dict(covering_frame=cover)
+                lvl = os.environ.get("BENCH_PREFIX_LEVEL")
+                if lvl:
+                    pip_kw.update(prefix_level=int(lvl))
             m = pip_join(enc_imgs, ALL_LAYERS, **pip_kw)
             return tile_manifest(m, tile_level=7).count()
 
@@ -296,6 +311,27 @@ def main() -> None:
         matches = pip_join(enc, ALL_LAYERS, n_rows=n_points)
         n_matches = timed("pip_join", lambda: matches.count())
         timed("pip_join_range", lambda: pip_join(enc, NATIVE_LAYERS, strategy="range").count())
+        # the 100-TB beyond-broadcast arms, tracked round-over-round at sf0.1
+        # (not only in ad-hoc 128M campaigns): unsalted prefix join, the
+        # salted variant (same shapes as the driver's pip_join_prefix /
+        # pip_join_salted gates), and the fully distributed covering arm
+        timed(
+            "pip_join_prefix",
+            lambda: pip_join(enc, ALL_LAYERS, broadcast_cells=False).count(),
+        )
+        timed(
+            "pip_join_salted",
+            lambda: pip_join(enc, ALL_LAYERS, broadcast_cells=False, salt=4).count(),
+        )
+
+        from __spark_entry__ import ALL_LAYER_SPECS
+        from s2_geometry_library_java_spark.operators.covering import covering_df_distributed
+
+        def prefix_dist_job() -> int:
+            cover = covering_df_distributed(spark, ALL_LAYER_SPECS, max_cells=8, max_level=12)
+            return pip_join(enc, ALL_LAYERS, covering_frame=cover).count()
+
+        timed("pip_join_prefix_dist", prefix_dist_job)
         timed("tile_manifest", lambda: tile_manifest(matches, tile_level=6).count())
 
         qdf = geotagged_queries(spark, sf_dir, limit=8)
