@@ -391,9 +391,11 @@ def q_pip_prefix_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully DISTRIBUTED 100-TB arm (round-5 task 1): the covering is
     built executor-side by applyInPandas over the layer-spec dimension
     (covering_df_distributed), replicated to level-A prefixes in native
-    sequence/explode SQL (prefix_cover_frame), probe-pruned by a broadcast
-    left-semi join — no covering row ever exists in driver Python.  Must
-    emit exactly the pip_join_prefix rows (identical oracle)."""
+    sequence/explode SQL (prefix_cover_frame), probe-pruned by the auto
+    rung (bounded dimension-side collect -> codegen IN-set below
+    PREFIX_IN_FILTER_MAX distinct prefixes, broadcast left-semi beyond) —
+    no covering row ever exists in driver Python.  Must emit exactly the
+    pip_join_prefix rows (identical oracle)."""
     from s2_geometry_library_java_spark.operators.covering import covering_df_distributed
 
     cover = covering_df_distributed(spark, ALL_LAYER_SPECS, max_cells=8, max_level=12)

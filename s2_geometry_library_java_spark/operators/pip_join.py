@@ -420,6 +420,7 @@ def prefix_candidates_df(
     cell_col: str = "cell_id",
     salt: int | None = None,
     prefix_level: int | None = None,
+    prune: str = "auto",
 ) -> DataFrame:
     """The prefix-partitioned interval join with a DataFrame covering — the
     fully distributed 100-TB arm.
@@ -430,14 +431,32 @@ def prefix_candidates_df(
     DataFrame in COVERING_SCHEMA shape — e.g. the executor-built output of
     ``covering_df_distributed`` — so a 100k-layer dimension never touches
     driver Python: prefix replication runs as native ``sequence``/``explode``
-    (prefix_cover_frame) and probe pruning is a broadcast LEFT SEMI join on
-    the distinct prefixes (no literal IN list at any covering size).
+    (prefix_cover_frame), and nothing about the covering's SIZE ever does.
 
-    The semi-join prune consumes the covering subtree a second time (once
-    for the distinct keys, once as the join build side); when the covering
-    is expensive to build (applyInPandas coverer over many layers), persist
-    or checkpoint ``cover`` before calling — the frame is small (the layer
-    dimension), so caching it is the cluster-scale posture anyway."""
+    ``prune`` picks how probe rows outside every covering prefix are dropped
+    before the shuffle (the pre-exchange pruning both rungs share):
+
+    - ``"auto"`` (default): run one small bounded job on the DIMENSION side
+      at construction time — ``distinct prefixes LIMIT PREFIX_IN_FILTER_MAX+1``
+      — and, when the covering has at most PREFIX_IN_FILTER_MAX distinct
+      prefixes, prune with the same codegen'd IN-set literal as the
+      driver-list arm (measured ~1.3 s cheaper than the semi probe per 128M
+      fact rows at local[32]); above the bound, fall back to the broadcast
+      semi.  The collect is bounded by the LIMIT regardless of covering
+      size, and ``cover`` is persisted first so the coverer executes once,
+      not once per consumer.  NOTE this executes a (dimension-side, bounded)
+      Spark job eagerly when the DataFrame is CONSTRUCTED, not when it is
+      acted on — callers that need a fully lazy plan pass ``prune="semi"``.
+    - ``"semi"``: fully lazy — probe pruning is a broadcast LEFT SEMI join
+      on the distinct prefixes (no literal IN list at any covering size, no
+      job until the first action).  The semi prune consumes the covering
+      subtree a second time (distinct keys + join build side); when the
+      covering is expensive to build (applyInPandas coverer over many
+      layers), persist or checkpoint ``cover`` before calling — the frame
+      is small (the layer dimension), so caching it is the cluster-scale
+      posture anyway."""
+    if prune not in ("auto", "semi"):
+        raise ValueError(f"prune must be 'auto' or 'semi', got {prune!r}")
     if prefix_level is None:
         try:
             parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -448,11 +467,25 @@ def prefix_candidates_df(
     if salt and salt > (1 << (2 * (30 - prefix_level))):
         raise ValueError(f"salt {salt} does not fit below the level-{prefix_level} lsb")
 
+    if prune == "auto":
+        # dimension-side only and bounded by the LIMIT — safe at any fact
+        # scale; persist so the probe-prune probe and the join build side
+        # share one covering execution (the collect materializes the cache)
+        cover = cover.persist()
     pref = prefix_cover_frame(cover, prefix_level)
     pts = points.withColumn("_pfx", parent_expr(F.col(cell_col), prefix_level))
-    # pre-shuffle probe prune: rows outside every covering prefix never enter
-    # the exchange (broadcast semi executes on the probe scan stage)
-    pts = pts.join(F.broadcast(pref.select("_pfx").distinct()), "_pfx", "left_semi")
+    inset_keys: list[int] | None = None
+    if prune == "auto":
+        sample = pref.select("_pfx").distinct().limit(PREFIX_IN_FILTER_MAX + 1).collect()
+        if len(sample) <= PREFIX_IN_FILTER_MAX:
+            inset_keys = sorted(r["_pfx"] for r in sample)
+    if inset_keys is not None:
+        # same codegen'd IN-set filter as the driver-list arm's small band
+        pts = pts.filter(F.col("_pfx").isin(inset_keys))
+    else:
+        # pre-shuffle probe prune: rows outside every covering prefix never
+        # enter the exchange (broadcast semi executes on the probe scan stage)
+        pts = pts.join(F.broadcast(pref.select("_pfx").distinct()), "_pfx", "left_semi")
 
     if salt:
         pref = pref.withColumn(
@@ -706,6 +739,7 @@ def pip_join(
     n_rows: int | None = None,
     prefix_level: int | None = None,
     covering_frame: DataFrame | None = None,
+    prune: str = "auto",
 ) -> DataFrame:
     """points x layers -> rows of points matched with ``polygon_id``.
 
@@ -726,13 +760,15 @@ def pip_join(
     the fully distributed prefix arm (prefix_candidates_df): covering
     replication and probe pruning stay DataFrame-native, nothing flows
     through driver Python.  ``layers`` still supplies the exact refine
-    predicates."""
+    predicates.  ``prune`` (that arm only) picks the probe-prune rung —
+    ``"auto"`` bounded-collect IN-set / ``"semi"`` fully lazy broadcast
+    semi; see prefix_candidates_df."""
     spark = points.sparkSession
     if covering_frame is not None:
         if strategy not in ("auto", "prefix"):
             raise ValueError("covering_frame requires the prefix strategy")
         pts = with_cell_id(points, lat_col, lng_col, cell_col)
-        cand = prefix_candidates_df(pts, covering_frame, cell_col, salt, prefix_level)
+        cand = prefix_candidates_df(pts, covering_frame, cell_col, salt, prefix_level, prune)
         return refine_candidates(cand, layers, lat_col, lng_col).drop("is_interior")
     rows = precomputed_cells if precomputed_cells is not None else covering_rows(
         layers, max_cells=max_cells, min_level=min_level, max_level=max_level, level_mod=level_mod

@@ -82,15 +82,16 @@ def test_prefix_df_matches_bruteforce_and_list_arm(spark, points, points_pdf, sa
 
 
 def test_prefix_df_plan_is_fully_distributed(spark, points):
-    """Plan pins for the 100-TB arm (round-5 done criterion): the covering is
-    built executor-side (FlatMapGroupsInPandas in the plan), probe pruning is
-    a broadcast left-semi (no literal IN list anywhere), and the candidate
-    join is the shuffled-hash equi-join — no driver-side replication exists
-    because the plan consumes the covering scan directly."""
+    """Plan pins for the 100-TB arm (round-5 done criterion): with the fully
+    lazy ``prune="semi"`` rung the covering is built executor-side
+    (FlatMapGroupsInPandas in the plan), probe pruning is a broadcast
+    left-semi (no literal IN list anywhere), and the candidate join is the
+    shuffled-hash equi-join — no driver-side replication exists because the
+    plan consumes the covering scan directly."""
     layers = make_layers()
     cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
     pts = with_cell_id(points)
-    cand = prefix_candidates_df(pts, cover, prefix_level=4)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4, prune="semi")
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # covering built on executors
     assert "LeftSemi" in plan  # broadcast-semi probe prune
@@ -103,6 +104,49 @@ def test_prefix_df_plan_is_fully_distributed(spark, points):
     local_scans = re.findall(r"LocalTableScan \[([^\]]*)\]", plan)
     for cols in local_scans:
         assert "_ckey" not in cols and "_rmin" not in cols
+
+
+def test_prefix_df_auto_prune_uses_inset_below_bound(spark, points):
+    """``prune="auto"`` (default): a small covering pays the same codegen'd
+    IN-set probe filter as the driver-list arm — no broadcast-semi per-row
+    probe on the fact side (measured ~1.3 s/128M rows at local[32]) — while
+    the covering REPLICATION stays executor-side (FlatMapGroupsInPandas)."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # covering still built on executors
+    assert "LeftSemi" not in plan  # pruned by the IN-set literal instead
+    assert "ShuffledHashJoin" in plan
+
+
+def test_prefix_df_auto_prune_falls_back_to_semi(spark, points, points_pdf, monkeypatch):
+    """Above PREFIX_IN_FILTER_MAX distinct prefixes the auto rung must fall
+    back to the broadcast semi — and the match set must not change."""
+    import importlib
+
+    pj = importlib.import_module("s2_geometry_library_java_spark.operators.pip_join")
+    monkeypatch.setattr(pj, "PREFIX_IN_FILTER_MAX", 2)
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    result = refine_candidates(cand, layers)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_prefix_df_rejects_bad_prune(spark, points):
+    cover = covering_df(spark, make_layers(), max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    with pytest.raises(ValueError, match="prune"):
+        prefix_candidates_df(pts, cover, prune="bloom")
 
 
 def test_prefix_df_salted_packs_key_bits(spark, points, points_pdf):
