@@ -1382,6 +1382,25 @@ def q_geo_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_neardup_pairs(pts, GEO_NEARDUP_RADIUS, GEO_NEARDUP_HAMMING, salt=4)
 
 
+def q_geo_neardup_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-ONLY salting (round-5 follow-on to the 32M A/B): buckets above
+    salt_threshold rows are salted and their 9-neighborhood replicated;
+    the cold corpus keeps the unsalted single-shuffle plan; the disjoint
+    pair streams union to the exact unsalted output.  Same brute all-pairs
+    oracle as geo_neardup — the union/threshold machinery must be invisible
+    in the result."""
+    from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
+
+    pts = (
+        with_cell_id(geotagged_points(spark, sf_dir))
+        .filter(F.col("point_id") % GEO_NEARDUP_MOD == 0)
+        .withColumn("phash", (F.col("point_id") * F.lit(40503)) % F.lit(65536))
+    )
+    return geo_neardup_pairs(
+        pts, GEO_NEARDUP_RADIUS, GEO_NEARDUP_HAMMING, salt=4, salt_threshold=16
+    )
+
+
 def _oracle_geo_neardup_sql() -> str:
     """Brute all-pairs recompute: every candidate-generation decision in the
     plan (blocking level, neighbor ring, pair dedup) is independently checked
@@ -2477,10 +2496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the two NEW round-5 queries (pip_join_prefix_dist, geo_neardup_salted),
-    then 27 r4-certified entries; the 23 r4-certified entries behind the
-    window (streams, ANN/embedding block, polygon assembly, modalities,
-    time-series) re-enter the window in round 6 by the same rule.
+    the three NEW round-5 queries (pip_join_prefix_dist, geo_neardup_salted,
+    geo_neardup_salted_hot), then 26 r4-certified entries; the r4-certified
+    entries behind the window (caption_regions, streams, ANN/embedding
+    block, polygon assembly, modalities, time-series) re-enter the window
+    in round 6 by the same rule.
     """
     return {
         # --- rotated IN: outside the r4 window, driver-certified r3 (and by
@@ -2509,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 ---
         "pip_join_prefix_dist": q_pip_prefix_dist,
         "geo_neardup_salted": q_geo_neardup_salted,
+        "geo_neardup_salted_hot": q_geo_neardup_salted_hot,
         # --- r4-certified entries kept in-window (operator-family spread) ---
         "sql_api": q_sql_api,
         "encode_rollup": q_encode_rollup,
@@ -2536,8 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "decontaminate": q_decontaminate,
         "trajectory_stats": q_trajectory_stats,
-        "caption_regions": q_caption_regions,
         # --- rotated BEHIND the window (r4-green; back in-window round 6) ---
+        "caption_regions": q_caption_regions,
         "simplify_traj": q_simplify_traj,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -2591,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_prefix": _pip_oracle(ALL_LAYERS),
         "pip_join_prefix_dist": _pip_oracle(ALL_LAYERS),
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
+        "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),
         "points_in_no_layer": _pip_exists_oracle(ALL_LAYERS, negate=True),
         "caption_regions": _caption_regions_sql(),

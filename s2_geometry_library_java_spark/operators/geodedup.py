@@ -41,17 +41,29 @@ meets exactly once (in l's class), so the output is bit-identical; the
 hot cell's k^2 candidate generation runs as s tasks of k^2/s.  Cost:
 the right side shuffles s x instead of 1x (left stays 1x) — the
 replicate-the-cheaper-side direction, since left fans out through the
-9-cell ring anyway.  Not enabled by default: at meters-scale radii
-AQE's skew-join split handles residual imbalance (the r4 pip
-measurement: AQE beat static salting); turn it on — or dedup exact
-locations first — for corpora with single-cell hot spots
-(stadium/landmark bursts) where one bucket dominates the corpus.
+9-cell ring anyway.
+
+The r5 32M-row hot-city A/B (`BENCH/r5_geodedup_ab.jsonl`) replaced the
+r4 pip-join assumption with operator-specific measurement:
+- AQE's skew-join split does NOT absorb this operator's hot bucket
+  (112.2 s ON vs 112.9 s OFF): the k^2 pair generation happens inside
+  one join-key group, which OptimizeSkewedJoin cannot split the way it
+  splits the pip prefix join's many-leaf-per-prefix partitions.
+- GLOBAL salt=8 wins (81.1 s) but taxes the whole corpus with the s x
+  right-side explode, and global salt=32 OOMs the 32M-row shuffle.
+- ``salt_threshold`` (hot-ONLY salting) bounds the explode to the hot
+  9-neighborhood so deep salts stay affordable — use it, or dedup exact
+  locations first, for corpora with single-cell hot spots
+  (stadium/landmark bursts) where one bucket dominates the corpus.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.kernel import cellid
 
 from s2_geometry_library_java_spark.functions.native import (
     haversine_expr,
@@ -64,6 +76,12 @@ from s2_geometry_library_java_spark.operators.dedup import spread
 # ring-map rows (9 per populated bucket) below this broadcast; above it the
 # candidate join degrades gracefully to a shuffled equi-join on the bucket
 RING_BROADCAST_MAX = 2_000_000
+
+# hot-only salting keeps the hot-bucket set driver-side (an IN-set literal,
+# the pip PREFIX_IN_FILTER_MAX lesson): |hot| <= n_rows/salt_threshold by
+# definition, and the cap guards the adversarial corpus where the caller's
+# threshold admits too many
+SALT_HOT_BUCKET_MAX = 4096
 
 
 def geo_block_level(radius_rad: float) -> int:
@@ -82,6 +100,7 @@ def geo_neardup_pairs(
     hash_col: str = "phash",
     n_rows: int | None = None,
     salt: int | None = None,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """(id_lo, id_hi, dist_nrad, hamming) for every pair within
     ``radius_rad`` on the sphere AND ``max_hamming`` phash bits.
@@ -100,12 +119,31 @@ def geo_neardup_pairs(
     low bits, replicates the ring edge per class, explodes the right side
     across classes.  Output is bit-identical to unsalted; use for corpora
     where one cell holds a large fraction of all rows.
+
+    ``salt_threshold``: HOT-ONLY salting (requires ``salt``).  Global
+    salting replicates the whole right side ``salt``x — measured at 32M
+    rows it taxes the uniform background ~40% at salt=8 and OOMs the
+    shuffle at salt=32 (`BENCH/r5_geodedup_ab.jsonl`) — so with a
+    threshold, only buckets holding more than ``salt_threshold`` LEFT
+    rows are salted: the hot-bucket set is counted with one map-side-
+    combined aggregation (|hot| <= n/threshold, hard-capped at
+    SALT_HOT_BUCKET_MAX), its 9-cell neighborhood is expanded driver-side
+    with the K21 kernel, and the salt explode turns CONDITIONAL in one
+    join tree — hot ring edges and hot-vicinity right rows replicate
+    x salt, everything cold keeps exactly one class-0 replica, so the
+    cold plan shape is unchanged and the output is bit-identical to
+    unsalted.  This is the 100-TB shape: salt cost proportional to the
+    HOT data, not the corpus.  NOTE: hot detection runs one bounded
+    Spark job at DataFrame-construction time (the knn eager-job
+    contract).
     """
     level = geo_block_level(radius_rad)
     if salt and salt > (1 << (2 * (30 - level))):
         raise ValueError(
             f"salt {salt} does not fit below the level-{level} bucket lsb"
         )
+    if salt_threshold is not None and not salt:
+        raise ValueError("salt_threshold requires salt")
     # broadcast-only joins inherit the SCAN's parallelism: spread() guards
     # the compacted-small-input case (one row group -> one core) and no-ops
     # on a well-partitioned corpus
@@ -146,23 +184,49 @@ def geo_neardup_pairs(
             ).alias("probe"),
         )
     )
-    if salt:
+    def _salted(l_: DataFrame, ring_: DataFrame, r_: DataFrame):
+        """Pack salt classes into the free low bits of the bucket keys."""
         salts = F.explode(F.array(*[F.lit(s) for s in range(salt)]))
-        ring = ring.withColumn("_s", salts).select(
+        ring_ = ring_.withColumn("_s", salts).select(
             F.col("bucket").bitwiseOR(F.col("_s")).alias("bucket"),
             F.col("probe").bitwiseOR(F.col("_s")).alias("probe"),
         )
-        left = left.withColumn(
+        l_ = l_.withColumn(
             "bucket",
             F.col("bucket").bitwiseOR(F.pmod(F.xxhash64(F.col("id_l")), F.lit(salt))),
         )
-        right = right.withColumn("_s", salts).select(
+        r_ = r_.withColumn("_s", salts).select(
             "id_r",
             "lat_r",
             "lng_r",
             "h_r",
             F.col("probe").bitwiseOR(F.col("_s")).alias("probe"),
         )
+        return l_, ring_, r_
+
+    def _pairs(l_: DataFrame, ring_: DataFrame, r_: DataFrame, ring_bound: int) -> DataFrame:
+        if 9 * ring_bound <= RING_BROADCAST_MAX:
+            ring_ = F.broadcast(ring_)
+        dist = haversine_expr(
+            F.col("lat_l"), F.col("lng_l"), F.col("lat_r"), F.col("lng_r")
+        )
+        ham = F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r")))
+        # the radius test compares the RAW double (the completeness proof is
+        # in true distance; rounding first would admit pairs epsilon past the
+        # blocking guarantee); nano-radian fixed point is output-only
+        return (
+            l_.join(ring_, "bucket")
+            .join(r_, "probe")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .filter((dist <= F.lit(radius_rad)) & (ham <= max_hamming))
+            .select(
+                F.col("id_l").alias("id_lo"),
+                F.col("id_r").alias("id_hi"),
+                F.round(dist * F.lit(1e9)).cast("bigint").alias("dist_nrad"),
+                ham.cast("int").alias("hamming"),
+            )
+        )
+
     # broadcastability decided from the tightest known bound on POPULATED
     # buckets: the data-independent grid (6*4^L cells) intersected with the
     # corpus-size hint (distinct buckets <= rows).  No extra count job —
@@ -170,24 +234,68 @@ def geo_neardup_pairs(
     # still broadcast the tiny populated ring; without one, the grid bound
     # alone decides and deep levels fall through to the shuffled equi-join.
     populated_bound = 6 * 4**level if n_rows is None else min(n_rows, 6 * 4**level)
-    if 9 * populated_bound * (salt or 1) <= RING_BROADCAST_MAX:
-        ring = F.broadcast(ring)
-    dist = haversine_expr(
-        F.col("lat_l"), F.col("lng_l"), F.col("lat_r"), F.col("lng_r")
-    )
-    ham = F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r")))
-    # the radius test compares the RAW double (the completeness proof is in
-    # true distance; rounding first would admit pairs epsilon past the
-    # blocking guarantee); nano-radian fixed point is output-only
-    return (
-        left.join(ring, "bucket")
-        .join(right, "probe")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .filter((dist <= F.lit(radius_rad)) & (ham <= max_hamming))
-        .select(
-            F.col("id_l").alias("id_lo"),
-            F.col("id_r").alias("id_hi"),
-            F.round(dist * F.lit(1e9)).cast("bigint").alias("dist_nrad"),
-            ham.cast("int").alias("hamming"),
+
+    if salt and salt_threshold is not None:
+        # ONE bounded driver job: buckets above the threshold.  Map-side
+        # combine keeps the count shuffle tiny; |hot| <= n/threshold by
+        # definition, the LIMIT makes the bound a hard guard.
+        hot_rows = (
+            left.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > F.lit(salt_threshold))
+            .select("bucket")
+            .limit(SALT_HOT_BUCKET_MAX + 1)
+            .collect()
         )
-    )
+        if len(hot_rows) > SALT_HOT_BUCKET_MAX:
+            raise ValueError(
+                f"salt_threshold={salt_threshold} admits more than "
+                f"{SALT_HOT_BUCKET_MAX} hot buckets; raise the threshold "
+                "or use global salting (salt_threshold=None)"
+            )
+        hot = sorted(int(r["bucket"]) for r in hot_rows)
+        if not hot:
+            return _pairs(left, ring, right, populated_bound)
+        # the hot set's 9-neighborhood, expanded DRIVER-side with the K21
+        # kernel (<= 4096 cells, no extra Spark job): right rows outside it
+        # can never meet a hot left row, so only they pay the salt explode.
+        hot_i64 = np.asarray(hot, dtype=np.int64)
+        _, nbrs = cellid.get_all_neighbors(hot_i64.astype(np.uint64), level)
+        probe_hot = sorted({int(v) for v in np.concatenate([hot_i64, nbrs.astype(np.int64)])})
+        # ONE join tree (a first-cut union-of-two-paths built the ring's
+        # distinct+K21 hop twice and re-scanned the left side — measured
+        # SLOWER than unsalted at 32M): the explode is CONDITIONAL, so hot
+        # edges/rows fan out x salt while everything cold keeps exactly one
+        # replica with salt class 0, and the cold plan shape is unchanged.
+        all_classes = F.array(*[F.lit(c) for c in range(salt)])
+        one_class = F.array(F.lit(0))
+        left = left.withColumn(
+            "bucket",
+            F.when(
+                F.col("bucket").isin(hot),
+                F.col("bucket").bitwiseOR(F.pmod(F.xxhash64(F.col("id_l")), F.lit(salt))),
+            ).otherwise(F.col("bucket")),
+        )
+        ring = ring.withColumn(
+            "_c", F.explode(F.when(F.col("bucket").isin(hot), all_classes).otherwise(one_class))
+        ).select(
+            F.col("bucket").bitwiseOR(F.col("_c")).alias("bucket"),
+            F.col("probe").bitwiseOR(F.col("_c")).alias("probe"),
+        )
+        right = right.withColumn(
+            "_c", F.explode(F.when(F.col("probe").isin(probe_hot), all_classes).otherwise(one_class))
+        ).select(
+            "id_r",
+            "lat_r",
+            "lng_r",
+            "h_r",
+            F.col("probe").bitwiseOR(F.col("_c")).alias("probe"),
+        )
+        # a pair (l, r) still meets exactly once: via class hash(id_l)%salt
+        # when l's bucket is hot (r's class-matched replica exists because
+        # hot's ring is inside probe_hot), via the class-0 edge otherwise
+        return _pairs(left, ring, right, populated_bound + len(hot) * (salt - 1))
+
+    if salt:
+        left, ring, right = _salted(left, ring, right)
+    return _pairs(left, ring, right, populated_bound * (salt or 1))

@@ -68,7 +68,9 @@ def generate(n_rows: int, hot_rows: int) -> None:
     spark.stop()
 
 
-def run_leg(n_rows: int, hot_rows: int, salt: int, skew_join: bool, reps: int) -> None:
+def run_leg(
+    n_rows: int, hot_rows: int, salt: int, skew_join: bool, reps: int, threshold: int = 0
+) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from s2_geometry_library_java_spark.operators.geodedup import geo_neardup_pairs
@@ -89,7 +91,8 @@ def run_leg(n_rows: int, hot_rows: int, salt: int, skew_join: bool, reps: int) -
 
     def job() -> int:
         return geo_neardup_pairs(
-            df, RADIUS, MAX_HAM, n_rows=n_rows, salt=salt or None
+            df, RADIUS, MAX_HAM, n_rows=n_rows, salt=salt or None,
+            salt_threshold=threshold or None,
         ).count()
 
     n_pairs = job()  # warmup (worker fork, JIT)
@@ -102,6 +105,7 @@ def run_leg(n_rows: int, hot_rows: int, salt: int, skew_join: bool, reps: int) -
         json.dumps(
             {
                 "n_rows": n_rows, "hot_rows": hot_rows, "salt": salt,
+                "salt_threshold": threshold or None,
                 "skew_join": skew_join, "sec": round(best, 3),
                 "n_pairs": n_pairs, "reps": reps,
             }
@@ -111,35 +115,40 @@ def run_leg(n_rows: int, hot_rows: int, salt: int, skew_join: bool, reps: int) -
     spark.stop()
 
 
-LEGS = [  # (salt, aqe_skew_join)
-    (0, True),    # shipped default: unsalted, AQE absorbs what it can
-    (0, False),   # isolate AQE's contribution
-    (8, True),
-    (32, True),
+LEGS = [  # (salt, aqe_skew_join, hot_only_threshold)
+    (0, True, 0),    # unsalted, AQE absorbs what it can
+    (0, False, 0),   # isolate AQE's contribution
+    (8, True, 0),    # GLOBAL salt: right side explodes 8x corpus-wide
+    (32, True, 0),   # global salt 32: measured OOM at 32M (kept as evidence)
+    (8, True, 4096),   # HOT-ONLY: explode only the hot 9-neighborhood
+    (32, True, 4096),  # hot-only absorbs deep salt the global arm cannot
 ]
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "leg":
-        n_rows, hot_rows, salt, skew, reps = (int(x) for x in sys.argv[2:7])
-        run_leg(n_rows, hot_rows, salt, bool(skew), reps)
+        n_rows, hot_rows, salt, skew, reps, thr = (int(x) for x in sys.argv[2:8])
+        run_leg(n_rows, hot_rows, salt, bool(skew), reps, thr)
         return
     n_rows = int(os.environ.get("AB_N_ROWS", "128000000"))
     hot_rows = int(os.environ.get("AB_HOT_ROWS", "32000"))
     reps = int(os.environ.get("AB_REPS", "3"))
+    only_thr = os.environ.get("AB_ONLY_THRESHOLD")  # run just the hot-only legs
     generate(n_rows, hot_rows)
-    for salt, skew in LEGS:
+    for salt, skew, thr in LEGS:
+        if only_thr is not None and not thr:
+            continue
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "leg",
-             str(n_rows), str(hot_rows), str(salt), str(int(skew)), str(reps)],
+             str(n_rows), str(hot_rows), str(salt), str(int(skew)), str(reps), str(thr)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if lines:
             print(lines[-1], flush=True)
         else:
-            sys.stderr.write(f"LEG FAILED salt={salt} skew={skew}:\n{out.stderr[-2000:]}\n")
-            print(json.dumps({"salt": salt, "skew_join": skew, "error": "leg crashed"}), flush=True)
+            sys.stderr.write(f"LEG FAILED salt={salt} skew={skew} thr={thr}:\n{out.stderr[-2000:]}\n")
+            print(json.dumps({"salt": salt, "skew_join": skew, "salt_threshold": thr or None, "error": "leg crashed"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -142,3 +142,59 @@ def test_salt_overflow_rejected(spark, pts):
     too_big = (1 << (2 * (30 - lvl))) + 1
     with pytest.raises(ValueError, match="salt"):
         geo_neardup_pairs(df, RADIUS, MAX_HAM, salt=too_big)
+
+
+def _hot_corpus(spark, n=800, hot_every=4):
+    """Hot-spot corpus: 3/4 of rows jittered inside one ~0.003-degree box
+    (one blocking bucket at the 0.01-rad radius), the rest uniform."""
+    rng = np.random.default_rng(11)
+    lat = np.where(np.arange(n) % hot_every == 0, -90.0 + 180.0 * rng.random(n), 48.0 + 0.003 * rng.random(n))
+    lng = np.where(np.arange(n) % hot_every == 0, -180.0 + 360.0 * rng.random(n), 10.0 + 0.003 * rng.random(n))
+    cells = ck.from_latlng_degrees(lat, lng).view(np.int64)
+    ph = (np.arange(n) * 40503) % 65536
+    return spark.createDataFrame(
+        [(int(k), float(a), float(o), int(c), int(h)) for k, a, o, c, h in zip(range(n), lat, lng, cells, ph)],
+        "point_id long, lat double, lng double, cell_id long, phash long",
+    )
+
+
+def test_hot_only_salt_bit_identical(spark):
+    """salt_threshold salts ONLY the hot buckets; cold rows keep the
+    unsalted plan and the unioned pair set is bit-identical (full tuple,
+    including dist_nrad/hamming) to the unsalted run."""
+    df = _hot_corpus(spark)
+    base = {(r.id_lo, r.id_hi, r.dist_nrad, r.hamming) for r in geo_neardup_pairs(df, 0.01, 8).collect()}
+    rows = geo_neardup_pairs(df, 0.01, 8, salt=8, salt_threshold=50).collect()
+    got = {(r.id_lo, r.id_hi, r.dist_nrad, r.hamming) for r in rows}
+    assert len(got) == len(rows)  # disjoint paths: no pair emitted twice
+    assert got == base and len(base) > 100
+
+
+def test_hot_only_salt_no_hot_buckets(spark, pts):
+    """A threshold nothing exceeds degenerates to the plain unsalted plan."""
+    df, lat, lng, ph = pts
+    base = {(r.id_lo, r.id_hi) for r in geo_neardup_pairs(df, RADIUS, MAX_HAM).collect()}
+    got = {(r.id_lo, r.id_hi) for r in geo_neardup_pairs(df, RADIUS, MAX_HAM, salt=8, salt_threshold=N).collect()}
+    assert got == base and base
+
+
+def test_hot_only_salt_replicates_only_hot_probes(spark):
+    """The scale contract: ONE join tree (no union — a union-of-paths
+    variant built the ring's distinct+K21 hop twice and measured SLOWER
+    than unsalted at 32M rows), with the salt explode CONDITIONAL on the
+    hot set: rows outside the hot 9-neighborhood keep exactly one class-0
+    replica, so the salt tax is proportional to hot-vicinity rows, not the
+    corpus."""
+    df = _hot_corpus(spark)
+    plan = geo_neardup_pairs(df, 0.01, 8, salt=8, salt_threshold=50)._jdf.queryExecution().analyzed().toString()
+    assert "Union" not in plan  # single join tree, ring/left scanned once
+    assert plan.count("explode") == 3  # K21 ring + 2 conditional class explodes
+    # the explode arrays are conditional on the hot IN-set (class fan-out
+    # only inside the hot vicinity)
+    assert plan.count("CASE WHEN") >= 2 and " IN (" in plan
+
+
+def test_hot_only_salt_requires_salt(spark, pts):
+    df, _, _, _ = pts
+    with pytest.raises(ValueError, match="salt_threshold requires salt"):
+        geo_neardup_pairs(df, RADIUS, MAX_HAM, salt_threshold=10)
