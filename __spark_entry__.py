@@ -404,6 +404,22 @@ def q_pip_prefix_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("point_id", "polygon_id")
 
 
+def q_pip_prefix_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed arm under the TERMINAL probe-prune rung: the
+    covering-prefix set is summarized as a fixed-size Bloom bitmap
+    (bloom_bitmap/bloom_prune — bit_or-aggregated words probed by broadcast
+    word-lookup joins), the pruning posture for layer dimensions whose
+    exact prefix set outgrows a broadcast.  False positives are removed by
+    the exact prefix equi-join + interval residual, so this must emit
+    exactly the pip_join_prefix rows (identical oracle)."""
+    from s2_geometry_library_java_spark.operators.covering import covering_df_distributed
+
+    cover = covering_df_distributed(spark, ALL_LAYER_SPECS, max_cells=8, max_level=12)
+    pts = geotagged_points(spark, sf_dir)
+    m = pip_join(pts, ALL_LAYERS, covering_frame=cover, prune="bloom")
+    return m.select("point_id", "polygon_id")
+
+
 def q_points_any_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI: points inside at least one layer (§2.7 semi join)."""
     from s2_geometry_library_java_spark.operators.pip_join import pip_semi_join
@@ -2496,11 +2512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the three NEW round-5 queries (pip_join_prefix_dist, geo_neardup_salted,
-    geo_neardup_salted_hot), then 26 r4-certified entries; the r4-certified
-    entries behind the window (caption_regions, streams, ANN/embedding
-    block, polygon assembly, modalities, time-series) re-enter the window
-    in round 6 by the same rule.
+    the four NEW round-5 queries (pip_join_prefix_dist, pip_join_prefix_bloom,
+    geo_neardup_salted, geo_neardup_salted_hot), then 25 r4-certified
+    entries; the r4-certified entries behind the window (caption_regions,
+    streams, ANN/embedding block, polygon assembly, modalities,
+    time-series) re-enter the window in round 6 by the same rule.
     """
     return {
         # --- rotated IN: outside the r4 window, driver-certified r3 (and by
@@ -2528,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounding_caps": q_bounding_caps,
         # --- NEW in round 5 ---
         "pip_join_prefix_dist": q_pip_prefix_dist,
+        "pip_join_prefix_bloom": q_pip_prefix_bloom,
         "geo_neardup_salted": q_geo_neardup_salted,
         "geo_neardup_salted_hot": q_geo_neardup_salted_hot,
         # --- r4-certified entries kept in-window (operator-family spread) ---
@@ -2611,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_salted": _pip_oracle(RECT_LAYERS),
         "pip_join_prefix": _pip_oracle(ALL_LAYERS),
         "pip_join_prefix_dist": _pip_oracle(ALL_LAYERS),
+        "pip_join_prefix_bloom": _pip_oracle(ALL_LAYERS),
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),

@@ -235,9 +235,11 @@ def main() -> None:
                     broadcast_cells=False,
                     salt=int(os.environ.get("BENCH_PIP_SALT", "8")),
                 )
-            elif strat == "prefix_dist":
+            elif strat in ("prefix_dist", "prefix_dist_bloom"):
                 # the fully distributed arm: executor-built covering frame,
-                # native prefix replication, broadcast-semi probe prune
+                # native prefix replication; probe prune = the auto rung
+                # (IN-set/semi) or, for the _bloom leg, the terminal
+                # fixed-size Bloom-bitmap rung forced explicitly
                 from __spark_entry__ import ALL_LAYER_SPECS
                 from s2_geometry_library_java_spark.operators.covering import (
                     covering_df_distributed,
@@ -247,6 +249,8 @@ def main() -> None:
                     spark, ALL_LAYER_SPECS, max_cells=8, max_level=12
                 )
                 pip_kw = dict(covering_frame=cover)
+                if strat == "prefix_dist_bloom":
+                    pip_kw.update(prune="bloom")
                 lvl = os.environ.get("BENCH_PREFIX_LEVEL")
                 if lvl:
                     pip_kw.update(prefix_level=int(lvl))
@@ -332,6 +336,14 @@ def main() -> None:
             return pip_join(enc, ALL_LAYERS, covering_frame=cover).count()
 
         timed("pip_join_prefix_dist", prefix_dist_job)
+
+        def prefix_bloom_job() -> int:
+            # the terminal probe-prune rung, forced (at sf0.1 auto picks the
+            # IN-set): tracks the Bloom-bitmap build + k word-lookup probes
+            cover = covering_df_distributed(spark, ALL_LAYER_SPECS, max_cells=8, max_level=12)
+            return pip_join(enc, ALL_LAYERS, covering_frame=cover, prune="bloom").count()
+
+        timed("pip_join_prefix_bloom", prefix_bloom_job)
         timed("tile_manifest", lambda: tile_manifest(matches, tile_level=6).count())
 
         qdf = geotagged_queries(spark, sf_dir, limit=8)

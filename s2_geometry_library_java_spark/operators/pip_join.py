@@ -17,7 +17,9 @@ Two candidate-generation strategies, both images of reference index queries:
   the same prefixes, shuffled hash equi-join on the packed BIGINT prefix
   with exact interval containment as the residual condition, plus a
   pre-shuffle prune of probe rows outside every covering prefix (IN-set
-  literal while small, broadcast left-semi beyond).  Two forms:
+  literal while small, broadcast left-semi beyond, fixed-size Bloom
+  bitmap once the exact prefix set itself outgrows a comfortable
+  broadcast).  Two forms:
   ``prefix_candidates`` takes the driver-resident covering list;
   ``prefix_candidates_df`` (``pip_join(covering_frame=...)``) takes a
   covering DataFrame — e.g. built on executors by covering_df_distributed —
@@ -238,8 +240,31 @@ def stab_candidates(
 # LEFT SEMI join on the distinct-prefix frame: still zero-Python, still
 # executed on the probe scan stage BEFORE the shuffle, and with no plan-size
 # blowup at any covering size — the middle rung between the literal list and
-# a runtime bloom filter.  Pruning therefore never turns off.
+# the Bloom bitmap below.  Pruning therefore never turns off.
 PREFIX_IN_FILTER_MAX = 4096
+
+# The broadcast-semi rung holds while the EXACT distinct-prefix set is
+# comfortably broadcastable; past this many keys the set is ~10s of MB on
+# the wire and several× that in each executor's LongHashedRelation, so the
+# auto rung escalates to the final form: a FIXED-SIZE Bloom bitmap whose
+# broadcast cost is independent of prefix cardinality (<= m/64 longs, and
+# only words with a set bit exist as rows).  Spark 4 does not register
+# bloom_filter_agg/might_contain in SQL, so the bitmap is built from
+# first principles with bit_or aggregation (bloom_bitmap) and probed with
+# broadcast word-lookups + bit tests (bloom_prune) — pure codegen, no
+# Python.  Bloom false positives only cost shuffle bytes: every surviving
+# row still meets the exact prefix equi-join + interval residual, so the
+# match set is bit-identical across all three rungs.
+PREFIX_SEMI_PRUNE_MAX = 1 << 20
+
+# Bloom geometry: m bits, k seeded xxhash64 probes.  At the worst-case
+# populated-prefix bound (6*4^10 ≈ 6.3M level-10 prefixes, PREFIX_LEVEL_CAP)
+# m=2^26 gives fpp = (1 - e^(-k*n/m))^k ≈ 2.9%; at the PREFIX_SEMI_PRUNE_MAX
+# crossover (n ≈ 1M) fpp ≈ 0.09%.  Bitmap ≤ 2^20 (word, bits) rows ≈ 8 MB
+# broadcast worst case — and exactly k·n/64-ish rows when the covering is
+# small, because empty words are never materialized.
+PREFIX_BLOOM_BITS = 1 << 26
+PREFIX_BLOOM_HASHES = 2
 
 # Anchor-level bounds for the prefix join: the floor is the A/B-measured
 # local[32] setting; the cap bounds the driver-side coarse-cell replication
@@ -414,6 +439,70 @@ def prefix_cover_frame(cover: DataFrame, prefix_level: int) -> DataFrame:
     )
 
 
+def _bloom_hash(col: Column, seed: int, m_bits: int) -> Column:
+    """Hash ``col`` into [0, m_bits) — xxhash64 over (value, seed-literal),
+    so each seed yields an independent hash function (the literal changes
+    the hashed tuple; xxhash64's own seed is fixed)."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = PREFIX_BLOOM_BITS,
+    k: int = PREFIX_BLOOM_HASHES,
+) -> DataFrame:
+    """An m-bit Bloom bitmap of ``keys[key_col]`` as a ``(_w, _bits)`` frame:
+    word index = hash >> 6, ``_bits`` = bit_or of ``1 << (hash & 63)`` over
+    every key and every one of the k seeds.  Duplicated keys are free
+    (bit_or is idempotent), so callers need not pay a distinct() first.
+    Rows exist only for words with at least one set bit — a small key set
+    yields a small bitmap automatically, a huge one caps at m/64 rows."""
+    h = F.explode(
+        F.array(*[_bloom_hash(F.col(key_col), s, m_bits) for s in range(k)])
+    ).alias("_h")
+    return (
+        keys.select(h)
+        .select(
+            F.shiftright("_h", 6).alias("_w"),
+            # SQL-form shiftleft: the PySpark wrapper takes only literal
+            # shift amounts, the SQL function takes a column
+            F.expr("shiftleft(1L, int(_h & 63))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    bitmap: DataFrame,
+    col: str,
+    m_bits: int = PREFIX_BLOOM_BITS,
+    k: int = PREFIX_BLOOM_HASHES,
+) -> DataFrame:
+    """Drop rows whose ``col`` is DEFINITELY absent from the bitmap's key
+    set: k broadcast word-lookups (inner hash join on the word index — a
+    missing word is a Bloom negative) each followed by a codegen'd bit
+    test.  Never drops a true key; may keep false positives, which the
+    caller's exact join removes.  ``m_bits``/``k`` must match the values
+    the bitmap was built with.  Executes on the probe scan stage, before
+    any shuffle — the same placement as the IN-set and semi rungs."""
+    out = df
+    for s in range(k):
+        hcol, wcol, bcol = f"_bh{s}", f"_bw{s}", f"_bb{s}"
+        out = out.withColumn(hcol, _bloom_hash(F.col(col), s, m_bits)).withColumn(
+            wcol, F.shiftright(F.col(hcol), 6)
+        )
+        bmp = bitmap.select(F.col("_w").alias(wcol), F.col("_bits").alias(bcol))
+        out = (
+            out.join(F.broadcast(bmp), wcol, "inner")
+            .filter(F.expr(f"({bcol} & shiftleft(1L, int({hcol} & 63))) != 0"))
+            .drop(hcol, wcol, bcol)
+        )
+    return out
+
+
 def prefix_candidates_df(
     points: DataFrame,
     cover: DataFrame,
@@ -441,12 +530,15 @@ def prefix_candidates_df(
       — and, when the covering has at most PREFIX_IN_FILTER_MAX distinct
       prefixes, prune with the same codegen'd IN-set literal as the
       driver-list arm (measured ~1.3 s cheaper than the semi probe per 128M
-      fact rows at local[32]); above the bound, fall back to the broadcast
-      semi.  The collect is bounded by the LIMIT regardless of covering
-      size, and ``cover`` is persisted first so the coverer executes once,
-      not once per consumer.  NOTE this executes a (dimension-side, bounded)
-      Spark job eagerly when the DataFrame is CONSTRUCTED, not when it is
-      acted on — callers that need a fully lazy plan pass ``prune="semi"``.
+      fact rows at local[32]); above the bound, a second bounded count
+      (``LIMIT PREFIX_SEMI_PRUNE_MAX+1``) picks between the broadcast semi
+      (exact set still cheap to broadcast) and the Bloom rung (fixed-size
+      bitmap, cardinality-independent).  The jobs are bounded by their
+      LIMITs regardless of covering size, and ``cover`` is persisted first
+      so the coverer executes once, not once per consumer.  NOTE this
+      executes (dimension-side, bounded) Spark jobs eagerly when the
+      DataFrame is CONSTRUCTED, not when it is acted on — callers that need
+      a fully lazy plan pass ``prune="semi"`` or ``prune="bloom"``.
     - ``"semi"``: fully lazy — probe pruning is a broadcast LEFT SEMI join
       on the distinct prefixes (no literal IN list at any covering size, no
       job until the first action).  The semi prune consumes the covering
@@ -454,9 +546,18 @@ def prefix_candidates_df(
       covering is expensive to build (applyInPandas coverer over many
       layers), persist or checkpoint ``cover`` before calling — the frame
       is small (the layer dimension), so caching it is the cluster-scale
-      posture anyway."""
-    if prune not in ("auto", "semi"):
-        raise ValueError(f"prune must be 'auto' or 'semi', got {prune!r}")
+      posture anyway.
+    - ``"bloom"``: fully lazy — probe pruning is a PREFIX_BLOOM_BITS-bit
+      Bloom bitmap of the covering prefixes (bloom_bitmap / bloom_prune):
+      k broadcast word-lookups + bit tests on the probe scan stage.  The
+      broadcast is ≤ m/64 longs NO MATTER how many distinct prefixes the
+      covering has — the terminal rung for layer dimensions whose exact
+      prefix set itself outgrows a broadcast; false positives (≈3% at the
+      6.3M worst-case prefix bound) only add shuffle bytes, never rows to
+      the output.  Same persist advice as ``"semi"`` (the bitmap consumes
+      the covering subtree once more)."""
+    if prune not in ("auto", "semi", "bloom"):
+        raise ValueError(f"prune must be 'auto', 'semi' or 'bloom', got {prune!r}")
     if prefix_level is None:
         try:
             parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -475,17 +576,30 @@ def prefix_candidates_df(
     pref = prefix_cover_frame(cover, prefix_level)
     pts = points.withColumn("_pfx", parent_expr(F.col(cell_col), prefix_level))
     inset_keys: list[int] | None = None
+    rung = prune
     if prune == "auto":
         sample = pref.select("_pfx").distinct().limit(PREFIX_IN_FILTER_MAX + 1).collect()
         if len(sample) <= PREFIX_IN_FILTER_MAX:
             inset_keys = sorted(r["_pfx"] for r in sample)
+        else:
+            # second bounded dimension-side job: count (not collect) caps at
+            # the LIMIT, deciding semi vs bloom without materializing keys
+            n_keys = (
+                pref.select("_pfx").distinct().limit(PREFIX_SEMI_PRUNE_MAX + 1).count()
+            )
+            rung = "semi" if n_keys <= PREFIX_SEMI_PRUNE_MAX else "bloom"
     if inset_keys is not None:
         # same codegen'd IN-set filter as the driver-list arm's small band
         pts = pts.filter(F.col("_pfx").isin(inset_keys))
-    else:
+    elif rung == "semi":
         # pre-shuffle probe prune: rows outside every covering prefix never
         # enter the exchange (broadcast semi executes on the probe scan stage)
         pts = pts.join(F.broadcast(pref.select("_pfx").distinct()), "_pfx", "left_semi")
+    else:
+        # terminal rung: fixed-size Bloom bitmap of the covering prefixes —
+        # broadcast size independent of prefix cardinality; bit_or makes the
+        # duplicate prefixes in pref harmless, so no distinct() shuffle
+        pts = bloom_prune(pts, bloom_bitmap(pref.select("_pfx"), "_pfx"), "_pfx")
 
     if salt:
         pref = pref.withColumn(
@@ -761,8 +875,9 @@ def pip_join(
     replication and probe pruning stay DataFrame-native, nothing flows
     through driver Python.  ``layers`` still supplies the exact refine
     predicates.  ``prune`` (that arm only) picks the probe-prune rung —
-    ``"auto"`` bounded-collect IN-set / ``"semi"`` fully lazy broadcast
-    semi; see prefix_candidates_df."""
+    ``"auto"`` bounded-collect IN-set→semi→bloom escalation / ``"semi"``
+    fully lazy broadcast semi / ``"bloom"`` fully lazy fixed-size Bloom
+    bitmap; see prefix_candidates_df."""
     spark = points.sparkSession
     if covering_frame is not None:
         if strategy not in ("auto", "prefix"):

@@ -54,12 +54,26 @@ LEGS = [
     ("prefix_dist", 0.25),
 ]
 
+# the Bloom-rung A/B (terminal probe prune forced vs the auto IN-set rung,
+# same distributed covering): AB_LEGS=bloom
+BLOOM_LEGS = [
+    ("prefix_dist", 0.0),
+    ("prefix_dist_bloom", 0.0),
+    ("prefix_dist", 0.25),
+    ("prefix_dist_bloom", 0.25),
+]
+
 
 def main() -> None:
     n_images = int(os.environ.get("AB_N_IMAGES", "128000000"))
     cpus = int(os.environ.get("AB_CPUS", "32"))
     skip = int(os.environ.get("AB_SKIP_LEGS", "0"))
-    for strategy, skew in LEGS[skip:]:
+    legs = BLOOM_LEGS if os.environ.get("AB_LEGS", "") == "bloom" else LEGS
+    legs = legs[skip:]
+    max_legs = int(os.environ.get("AB_MAX_LEGS", "0"))
+    if max_legs:
+        legs = legs[:max_legs]
+    for strategy, skew in legs:
         print(json.dumps(leg(cpus, strategy, skew, n_images)), flush=True)
 
 

@@ -146,7 +146,72 @@ def test_prefix_df_rejects_bad_prune(spark, points):
     cover = covering_df(spark, make_layers(), max_cells=8, max_level=12)
     pts = with_cell_id(points)
     with pytest.raises(ValueError, match="prune"):
-        prefix_candidates_df(pts, cover, prune="bloom")
+        prefix_candidates_df(pts, cover, prune="cuckoo")
+
+
+def test_prefix_df_bloom_prune_matches_and_plan(spark, points, points_pdf):
+    """The terminal prune rung (``prune="bloom"``): identical match set to
+    the exact rungs, and a fully lazy plan — no IN literal, no LeftSemi,
+    the bitmap probed via k broadcast word-lookup hash joins built from a
+    bit_or aggregate, candidate join still the shuffled-hash equi-join."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4, prune="bloom")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert " IN (" not in plan
+    assert "bit_or" in plan  # the bitmap aggregate feeds the broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2  # one word-lookup per hash
+    assert "ShuffledHashJoin" in plan
+    result = refine_candidates(cand, layers)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_prefix_df_auto_prune_escalates_to_bloom(spark, points, points_pdf, monkeypatch):
+    """Above PREFIX_SEMI_PRUNE_MAX distinct prefixes the auto rung must
+    escalate past the broadcast semi to the Bloom bitmap — and the match
+    set must not change."""
+    import importlib
+
+    pj = importlib.import_module("s2_geometry_library_java_spark.operators.pip_join")
+    monkeypatch.setattr(pj, "PREFIX_IN_FILTER_MAX", 2)
+    monkeypatch.setattr(pj, "PREFIX_SEMI_PRUNE_MAX", 2)
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, prefix_level=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan and "bit_or" in plan
+    result = refine_candidates(cand, layers)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+
+
+def test_bloom_prune_never_drops_true_keys(spark):
+    """Property at a deliberately tiny m (heavy false-positive pressure):
+    bloom_prune keeps EVERY row whose key is in the bitmap's key set —
+    false positives allowed, false negatives never."""
+    from pyspark.sql import functions as F2
+
+    from s2_geometry_library_java_spark.operators.pip_join import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    keys = spark.range(100).select((F2.col("id") * 7).alias("k"))
+    probe = spark.range(1000).select(F2.col("id").alias("k"))
+    bm = bloom_bitmap(keys, "k", m_bits=256, k=2)
+    kept = {r["k"] for r in bloom_prune(probe, bm, "k", m_bits=256, k=2).collect()}
+    true_keys = {r["k"] for r in keys.collect()} & set(range(1000))
+    assert true_keys <= kept
 
 
 def test_prefix_df_salted_packs_key_bits(spark, points, points_pdf):
