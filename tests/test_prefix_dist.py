@@ -195,6 +195,22 @@ def test_prefix_df_auto_prune_escalates_to_bloom(spark, points, points_pdf, monk
     assert got == oracle_matches(points_pdf, layers)
 
 
+def test_prefix_df_bloom_with_salt_matches(spark, points, points_pdf):
+    """The terminal rung composes with packed-bit salting: prune happens on
+    the unsalted prefix before the salt bits are packed, so the match set
+    is unchanged and the join key stays a single BIGINT."""
+    layers = make_layers()
+    cover = covering_df_distributed(spark, LAYER_SPECS, max_cells=8, max_level=12)
+    pts = with_cell_id(points)
+    cand = prefix_candidates_df(pts, cover, salt=4, prefix_level=4, prune="bloom")
+    result = refine_candidates(cand, layers)
+    got = {
+        (int(r["point_id"]), r["polygon_id"])
+        for r in result.select("point_id", "polygon_id").collect()
+    }
+    assert got == oracle_matches(points_pdf, layers)
+
+
 def test_bloom_prune_never_drops_true_keys(spark):
     """Property at a deliberately tiny m (heavy false-positive pressure):
     bloom_prune keeps EVERY row whose key is in the bitmap's key set —
