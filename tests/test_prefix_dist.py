@@ -211,10 +211,12 @@ def test_prefix_df_bloom_with_salt_matches(spark, points, points_pdf):
     assert got == oracle_matches(points_pdf, layers)
 
 
-def test_bloom_prune_never_drops_true_keys(spark):
-    """Property at a deliberately tiny m (heavy false-positive pressure):
-    bloom_prune keeps EVERY row whose key is in the bitmap's key set —
-    false positives allowed, false negatives never."""
+@pytest.mark.parametrize("m_bits,k", [(256, 2), (100, 3), (64, 1)])
+def test_bloom_prune_never_drops_true_keys(spark, m_bits, k):
+    """Property at deliberately tiny m (heavy false-positive pressure),
+    including m not a multiple of 64 and k=1/3: bloom_prune keeps EVERY
+    row whose key is in the bitmap's key set — false positives allowed,
+    false negatives never."""
     from pyspark.sql import functions as F2
 
     from s2_geometry_library_java_spark.operators.pip_join import (
@@ -224,8 +226,8 @@ def test_bloom_prune_never_drops_true_keys(spark):
 
     keys = spark.range(100).select((F2.col("id") * 7).alias("k"))
     probe = spark.range(1000).select(F2.col("id").alias("k"))
-    bm = bloom_bitmap(keys, "k", m_bits=256, k=2)
-    kept = {r["k"] for r in bloom_prune(probe, bm, "k", m_bits=256, k=2).collect()}
+    bm = bloom_bitmap(keys, "k", m_bits=m_bits, k=k)
+    kept = {r["k"] for r in bloom_prune(probe, bm, "k", m_bits=m_bits, k=k).collect()}
     true_keys = {r["k"] for r in keys.collect()} & set(range(1000))
     assert true_keys <= kept
 
