@@ -487,18 +487,23 @@ def bloom_prune(
     test.  Never drops a true key; may keep false positives, which the
     caller's exact join removes.  ``m_bits``/``k`` must match the values
     the bitmap was built with.  Executes on the probe scan stage, before
-    any shuffle — the same placement as the IN-set and semi rungs."""
+    any shuffle — the same placement as the IN-set and semi rungs.
+
+    All k lookups join the SAME bitmap frame (per-seed names live only in
+    probe-side hash columns), so the k build sides canonicalize equal and
+    the bitmap aggregation materializes + broadcasts ONCE — statically via
+    ReuseExchange, or through AQE's stage cache at runtime (pinned by a
+    plan test)."""
     out = df
     for s in range(k):
-        hcol, wcol, bcol = f"_bh{s}", f"_bw{s}", f"_bb{s}"
+        hcol, wcol = f"_bh{s}", f"_bw{s}"
         out = out.withColumn(hcol, _bloom_hash(F.col(col), s, m_bits)).withColumn(
             wcol, F.shiftright(F.col(hcol), 6)
         )
-        bmp = bitmap.select(F.col("_w").alias(wcol), F.col("_bits").alias(bcol))
         out = (
-            out.join(F.broadcast(bmp), wcol, "inner")
-            .filter(F.expr(f"({bcol} & shiftleft(1L, int({hcol} & 63))) != 0"))
-            .drop(hcol, wcol, bcol)
+            out.join(F.broadcast(bitmap), out[wcol] == bitmap["_w"], "inner")
+            .filter(F.expr(f"(_bits & shiftleft(1L, int({hcol} & 63))) != 0"))
+            .drop(hcol, wcol, "_w", "_bits")
         )
     return out
 

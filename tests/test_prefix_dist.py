@@ -211,6 +211,29 @@ def test_prefix_df_bloom_with_salt_matches(spark, points, points_pdf):
     assert got == oracle_matches(points_pdf, layers)
 
 
+def test_bloom_bitmap_broadcast_is_reused(spark):
+    """The k word-lookup joins must share ONE bitmap materialization: with
+    AQE off the static plan shows a ReusedExchange for the second lookup
+    (under AQE the same dedup happens in the runtime stage cache)."""
+    from pyspark.sql import functions as F2
+
+    from s2_geometry_library_java_spark.operators.pip_join import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    keys = spark.range(1000).select((F2.col("id") * 7).alias("k"))
+    probe = spark.range(1000).select(F2.col("id").alias("k"))
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pruned = bloom_prune(probe, bloom_bitmap(keys, "k"), "k")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 @pytest.mark.parametrize("m_bits,k", [(256, 2), (100, 3), (64, 1)])
 def test_bloom_prune_never_drops_true_keys(spark, m_bits, k):
     """Property at deliberately tiny m (heavy false-positive pressure),
