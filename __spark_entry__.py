@@ -1939,6 +1939,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN with exact re-rank; at shortlist=None
+    every ADC candidate survives to the exact re-rank, so the result is
+    EXACT and shares the brute cosine oracle — the gate covers the
+    codebook-train / encode / LUT-scan / re-rank plan shape, pytest pins
+    the approximate regime's recall-vs-shortlist curve
+    (tests/test_ann_pq.py)."""
+    return ann.pq_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=ANN_NQ, k=ANN_K, shortlist=None
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_TAU)
 
@@ -2512,11 +2524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the four NEW round-5 queries (pip_join_prefix_dist, pip_join_prefix_bloom,
-    geo_neardup_salted, geo_neardup_salted_hot), then 25 r4-certified
-    entries; the r4-certified entries behind the window (caption_regions,
-    streams, ANN/embedding block, polygon assembly, modalities,
-    time-series) re-enter the window in round 6 by the same rule.
+    the five NEW round-5 queries (pip_join_prefix_dist, pip_join_prefix_bloom,
+    geo_neardup_salted, geo_neardup_salted_hot, ann_pq), then 24
+    r4-certified entries; the r4-certified entries behind the window
+    (caption_regions, streams, ANN/embedding block, polygon assembly,
+    modalities, time-series) re-enter the window in round 6 by the same
+    rule.
     """
     return {
         # --- rotated IN: outside the r4 window, driver-certified r3 (and by
@@ -2547,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_prefix_bloom": q_pip_prefix_bloom,
         "geo_neardup_salted": q_geo_neardup_salted,
         "geo_neardup_salted_hot": q_geo_neardup_salted_hot,
+        "ann_pq": q_ann_pq,
         # --- r4-certified entries kept in-window (operator-family spread) ---
         "sql_api": q_sql_api,
         "encode_rollup": q_encode_rollup,
@@ -2629,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_prefix": _pip_oracle(ALL_LAYERS),
         "pip_join_prefix_dist": _pip_oracle(ALL_LAYERS),
         "pip_join_prefix_bloom": _pip_oracle(ALL_LAYERS),
+        "ann_pq": _Q_ANN_COSINE_SQL,
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),

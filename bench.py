@@ -376,6 +376,7 @@ def main() -> None:
 
         emb = load_table(spark, sf_dir, "embeddings")
         timed("ann_cosine", lambda: ann.cosine_topk(emb, n_queries=8, k=10).count())
+        timed("ann_pq", lambda: ann.pq_cosine_topk(emb, n_queries=8, k=10, shortlist=100).count())
 
         # time-series operators over the events table: as-of enrichment
         # (tagged-union sort-fill) and the bucketed interval-overlap join

@@ -488,3 +488,165 @@ def embedding_neardup(
 
     res = rep.groupBy("ba", "sa", "bb", "sb").applyInPandas(block_pair, out_schema)
     return res.select("id_a", "id_b", F.round("_sim", 9).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-corpus ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_SEED = 20260821
+PQ_M = 8  # subspaces (dim 64 -> 8 dims each)
+PQ_KSUB = 16  # codewords per subspace -> 4 bits/code, 8 B/vector vs 256 B raw
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means over a bounded id-ordered
+    sample (ONE collect, <= sample_n rows — same bounded-dimension-collect
+    contract as the IVF centroid train above).  Vectors are L2-normalized
+    first so squared-L2 codeword distance orders like cosine.  Init is the
+    first ksub sample rows per subspace (no RNG in the train loop — bit-
+    reproducible across runs and cluster sizes); an emptied cluster keeps
+    its previous centroid.  Returns codebooks of shape (m, ksub, dim//m)."""
+    rows = embeddings.orderBy(F.col(id_col).asc()).limit(sample_n).select(vec_col).collect()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = Xn[:, j * dsub : (j + 1) * dsub]
+        C = sub[:ksub].copy()
+        for _ in range(iters):
+            D = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(D, axis=1)  # ties -> lowest code, deterministic
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``pq_codes`` (array<int>, length m, values in [0, ksub)): each
+    vector L2-normalizes and each subspace snaps to its nearest codeword —
+    one vectorized distance matmul per (subspace, Arrow batch).  At 100 TB
+    this column IS the scan side: m small ints per row (bit-packable to
+    m*log2(ksub) bits) instead of dim floats, so the ADC pass reads ~32x
+    less than a raw-vector scan."""
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = np.empty((len(Mn), m), dtype=np.int32)
+        for j in range(m):
+            sub = Mn[:, j * dsub : (j + 1) * dsub]
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c drops ||s||^2
+            D = -2.0 * (sub @ codebooks[j].T) + (codebooks[j] ** 2).sum(axis=1)
+            out[:, j] = np.argmin(D, axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def pq_cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int | None = None,
+    sample_n: int = 2048,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact re-rank — the
+    FAISS-style compressed-corpus ANN: train codebooks (bounded collect),
+    encode the corpus to m-byte codes, scan codes against per-query lookup
+    tables (LUT[q, j, code] = dot of query subvector with codeword — m table
+    adds per row instead of dim multiplies), take the per-query ADC
+    ``shortlist``, then re-rank ONLY the shortlist by exact cosine against
+    the raw vectors (a small join back on id).  shortlist=None keeps every
+    candidate, making the result EXACT (= ``cosine_topk`` / the brute
+    DuckDB oracle) while still executing the full ADC plan — the driver
+    gate covers the plan shape, pytest pins the approximate regime's
+    recall-vs-shortlist curve.
+
+    Scale shape: the corpus never shuffles — the ADC pass is one narrow
+    projection (id, codes) with the LUTs closed over (nq*m*ksub doubles),
+    the shortlist (nq*shortlist rows) broadcasts back for the re-rank join,
+    and ranking windows partition by query_id (nq-way, trivially balanced)."""
+    books = pq_train_codebooks(
+        embeddings, m=m, ksub=ksub, sample_n=sample_n, id_col=id_col, vec_col=vec_col
+    )
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .orderBy(F.col(id_col).asc())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq, dim = Qn.shape
+    dsub = dim // m
+    # LUT[qi, j, c] = <q_sub, codeword>; ADC sim = sum_j LUT[qi, j, codes[j]]
+    lut = np.einsum("qjd,jkd->qjk", Qn.reshape(nq, m, dsub), books)
+
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        S = np.zeros((len(C), nq))
+        for j in range(m):
+            S += lut[:, j, :][:, C[:, j]].T
+        return pd.Series(list(S))
+
+    codes_df = pq_encode(embeddings, books, vec_col=vec_col).select(id_col, "pq_codes")
+    pairs = codes_df.select(
+        id_col, F.posexplode(adc(F.col("pq_codes"))).alias("_qpos", "_approx")
+    )
+    sess = embeddings.sparkSession
+    qmap = sess.createDataFrame(
+        [(int(i), int(qid)) for i, qid in enumerate(qids)], "_qpos int, query_id long"
+    )
+    pairs = pairs.join(F.broadcast(qmap), "_qpos").filter(F.col(id_col) != F.col("query_id"))
+    if shortlist is not None:
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("_approx").desc(), F.col(id_col).asc()
+        )
+        pairs = pairs.withColumn("_srank", F.row_number().over(ws)).filter(
+            F.col("_srank") <= shortlist
+        )
+    qdf = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    cand = (
+        pairs.select("query_id", id_col)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    sim = F.expr(cosine_expr("qvec", vec_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
+    )

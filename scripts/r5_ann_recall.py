@@ -62,6 +62,19 @@ def main() -> None:
         rec = len(got & brute) / len(brute)
         sec = best_of(lambda: ann.ivf_cosine_topk(emb, NQ, K, n_lists=16, n_probe=n_probe).count())
         print(f"| IVF | n_lists=16 n_probe={n_probe} | {rec:.3f} | {sec:.3f} |")
+
+    for ksub, sl in [
+        (16, 25), (16, 50), (16, 100), (16, 200), (16, None),
+        (64, 100), (64, 200), (256, 100),
+    ]:
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann.pq_cosine_topk(emb, NQ, K, ksub=ksub, shortlist=sl).collect()
+        }
+        rec = len(got & brute) / len(brute)
+        sec = best_of(lambda: ann.pq_cosine_topk(emb, NQ, K, ksub=ksub, shortlist=sl).count())
+        label = "full (exact)" if sl is None else str(sl)
+        print(f"| PQ | m=8 ksub={ksub} shortlist={label} | {rec:.3f} | {sec:.3f} |")
     spark.stop()
 
 
