@@ -1655,6 +1655,59 @@ def _token_shards_sql() -> str:
     )
 
 
+PACK_CONTEXT_LEN = 512
+MIXTURE_FRACTIONS = {
+    # testdata sources are src0..src19; a mixture that exercises full-keep,
+    # heavy and light downsampling, and implicit drop (absent sources)
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 1.0,
+    "src6": 0.6,
+    "src7": 0.4,
+}
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-slice sequence packing metadata (GPT pretraining
+    recipe: docs concatenate in deterministic order, fixed context_len
+    slices, docs may span boundaries) via the two-stage cumsum; the oracle
+    recomputes it as the single global window the operator avoids."""
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.pack_concat_slices(
+        load_table(spark, sf_dir, "documents"), PACK_CONTEXT_LEN, n_buckets=SHARD_BUCKETS
+    )
+
+
+def _sequence_pack_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.pack_oracle_sql("documents", PACK_CONTEXT_LEN, n_buckets=SHARD_BUCKETS)
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source deterministic hash-threshold
+    keep fractions (the applied form of temperature reweighting — mixture
+    math over the bounded domain-count table in temperature_fractions,
+    gated in pytest; the corpus sees one codegen'd filter, no shuffle)."""
+    from s2_geometry_library_java_spark.operators import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.stratified_sample(docs, MIXTURE_FRACTIONS).select("doc_id", "source")
+
+
+def _domain_mixture_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+
+    return (
+        f"SELECT doc_id, source FROM documents "
+        f"WHERE {prep.stratified_case_sql(MIXTURE_FRACTIONS)}"
+    )
+
+
 STREAM_N_KEYS = 20000
 STREAM_BASE_EPOCH = 1_760_000_040  # divisible by 60: window starts align cleanly
 STREAM_TILE_LEVEL = 3
@@ -2524,12 +2577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the five NEW round-5 queries (pip_join_prefix_dist, pip_join_prefix_bloom,
-    geo_neardup_salted, geo_neardup_salted_hot, ann_pq), then 24
-    r4-certified entries; the r4-certified entries behind the window
-    (caption_regions, streams, ANN/embedding block, polygon assembly,
-    modalities, time-series) re-enter the window in round 6 by the same
-    rule.
+    the seven NEW round-5 queries (pip_join_prefix_dist,
+    pip_join_prefix_bloom, geo_neardup_salted, geo_neardup_salted_hot,
+    ann_pq, sequence_pack, domain_mixture), then 22 r4-certified entries;
+    the r4-certified entries behind the window (caption_regions, streams,
+    ANN/embedding block, polygon assembly, modalities, time-series)
+    re-enter the window in round 6 by the same rule.
     """
     return {
         # --- rotated IN: outside the r4 window, driver-certified r3 (and by
@@ -2561,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_neardup_salted": q_geo_neardup_salted,
         "geo_neardup_salted_hot": q_geo_neardup_salted_hot,
         "ann_pq": q_ann_pq,
+        "sequence_pack": q_sequence_pack,
+        "domain_mixture": q_domain_mixture,
         # --- r4-certified entries kept in-window (operator-family spread) ---
         "sql_api": q_sql_api,
         "encode_rollup": q_encode_rollup,
@@ -2644,6 +2699,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_prefix_dist": _pip_oracle(ALL_LAYERS),
         "pip_join_prefix_bloom": _pip_oracle(ALL_LAYERS),
         "ann_pq": _Q_ANN_COSINE_SQL,
+        "sequence_pack": _sequence_pack_sql(),
+        "domain_mixture": _domain_mixture_sql(),
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),

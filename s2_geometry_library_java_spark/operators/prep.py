@@ -173,3 +173,151 @@ def shard_oracle_sql(
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget_tokens}) AS BIGINT) AS shard "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-slice) for fixed-context pretraining
+# ---------------------------------------------------------------------------
+def pack_concat_slices(
+    docs: DataFrame,
+    context_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing metadata: documents concatenate in the
+    deterministic (bucket, key) order into one global token stream, which
+    slices into fixed ``context_len`` training sequences (documents MAY
+    span sequence boundaries — the classic padding-free pretraining
+    recipe).  Emits per document:
+
+      start_seq      sequence holding the document's first token
+      end_seq        sequence holding its last token
+      offset_in_seq  position of the first token within start_seq
+
+    so a trainer (or the shard writer) can materialize any sequence s by
+    ranging over documents with start_seq <= s <= end_seq — an equi/range
+    probe on a cumsum column, no data movement here at all.
+
+    Scale shape: identical two-stage cumulative sum as
+    ``shard_by_token_budget`` (bounded n_buckets-row collect for exclusive
+    bucket offsets, per-bucket window for the intra-bucket cumsum) — the
+    single-global-window formulation the DuckDB oracle runs would
+    serialize 10^12 rows through one partition."""
+    base = docs.select(
+        F.col(key_col),
+        F.expr(bucket_expr_sql(key_col, n_buckets)).cast("int").alias("bucket"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    )
+    totals = {
+        r["bucket"]: r["total"]
+        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += int(totals[b])
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "bucket int, _offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = int(context_len)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset")
+    return (
+        base.join(F.broadcast(off_df), "bucket")
+        .withColumn("_o", start)
+        .select(
+            key_col,
+            "bucket",
+            "n_tokens",
+            F.floor(F.col("_o") / F.lit(c)).cast("long").alias("start_seq"),
+            F.floor((F.col("_o") + F.col("n_tokens") - 1) / F.lit(c)).cast("long").alias("end_seq"),
+            (F.col("_o") % F.lit(c)).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
+def pack_oracle_sql(
+    table: str,
+    context_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB twin of ``pack_concat_slices``: ONE global window in
+    (bucket, key) order."""
+    bucket = bucket_expr_sql(key_col, n_buckets)
+    toks = f"len(string_split({text_col}, ' '))"
+    o = (
+        f"COALESCE(SUM({toks}) OVER (ORDER BY {bucket}, {key_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return (
+        f"SELECT {key_col}, CAST({bucket} AS INTEGER) AS bucket, "
+        f"CAST({toks} AS BIGINT) AS n_tokens, "
+        f"CAST(FLOOR({o} / {context_len}) AS BIGINT) AS start_seq, "
+        f"CAST(FLOOR(({o} + {toks} - 1) / {context_len}) AS BIGINT) AS end_seq, "
+        f"CAST({o} % {context_len} AS BIGINT) AS offset_in_seq "
+        f"FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture (stratified) sampling
+# ---------------------------------------------------------------------------
+def stratified_case_sql(
+    fractions: dict[str, float], domain_col: str = "source", key_col: str = "doc_id", salt: int = 2
+) -> str:
+    """Filter predicate keeping a deterministic ~fractions[d] of each
+    domain's rows (domains absent from the dict are DROPPED) — pure
+    integer hash-threshold arithmetic, identical text in Spark SQL and
+    DuckDB.  Thresholds are Python-computed integer literals, so there is
+    no cross-engine float normalization anywhere."""
+    h = _hash_expr(key_col, salt)
+    arms = " ".join(
+        f"WHEN '{d}' THEN {int(min(max(f, 0.0), 1.0) * HASH_MOD)}"
+        for d, f in sorted(fractions.items())
+    )
+    return f"({h} < (CASE {domain_col} {arms} ELSE 0 END))"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 2,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each domain at its target
+    fraction with the stateless hash filter — ONE native predicate, no
+    shuffle, no rand(); the same row survives on any cluster/partitioning/
+    re-run.  This is how a precomputed mixture (e.g. temperature weights
+    from ``temperature_fractions``) is applied to a 10^12-row corpus:
+    the mixture math runs over the bounded per-domain count table, the
+    corpus itself only ever sees a codegen'd filter."""
+    return docs.filter(F.expr(stratified_case_sql(fractions, domain_col, key_col, salt)))
+
+
+def temperature_fractions(
+    domain_counts: dict[str, int], tau: float = 0.5, target_total: int | None = None
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights -> per-domain keep fractions.
+
+    q_d = n_d^tau / sum(n^tau) (tau in (0, 1]: 1 = natural proportions,
+    -> 0 = uniform over domains); the returned fraction downsamples domain
+    d to q_d * target_total rows (capped at keeping every row — classic
+    multilingual/multi-source rebalancing a la temperature sampling).
+    Pure driver-side math over the BOUNDED per-domain count table (a
+    groupBy(domain).count() collect — domains number in the hundreds, not
+    the billions); feed the result to ``stratified_sample``."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    n = {d: int(c) for d, c in domain_counts.items()}
+    total = sum(n.values())
+    if target_total is None:
+        target_total = total
+    z = sum(c**tau for c in n.values())
+    return {d: min(1.0, (c**tau / z) * target_total / c) for d, c in n.items() if c > 0}
