@@ -2004,6 +2004,21 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (coarse cells prune rows, PQ codes prune bytes,
+    exact re-rank); at n_probe == n_lists and shortlist=None every row
+    survives both pruners so the result is EXACT and shares the brute
+    oracle; pytest pins the approximate regime (tests/test_ann_pq.py)."""
+    return ann.ivfpq_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=ANN_NQ,
+        k=ANN_K,
+        n_lists=16,
+        n_probe=16,
+        shortlist=None,
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_neardup(load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_TAU)
 
@@ -2577,9 +2592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the seven NEW round-5 queries (pip_join_prefix_dist,
+    the eight NEW round-5 queries (pip_join_prefix_dist,
     pip_join_prefix_bloom, geo_neardup_salted, geo_neardup_salted_hot,
-    ann_pq, sequence_pack, domain_mixture), then 22 r4-certified entries;
+    ann_pq, sequence_pack, domain_mixture, ann_ivfpq), then 21
+    r4-certified entries;
     the r4-certified entries behind the window (caption_regions, streams,
     ANN/embedding block, polygon assembly, modalities, time-series)
     re-enter the window in round 6 by the same rule.
@@ -2616,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "sequence_pack": q_sequence_pack,
         "domain_mixture": q_domain_mixture,
+        "ann_ivfpq": q_ann_ivfpq,
         # --- r4-certified entries kept in-window (operator-family spread) ---
         "sql_api": q_sql_api,
         "encode_rollup": q_encode_rollup,
@@ -2701,6 +2718,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _Q_ANN_COSINE_SQL,
         "sequence_pack": _sequence_pack_sql(),
         "domain_mixture": _domain_mixture_sql(),
+        "ann_ivfpq": _Q_ANN_COSINE_SQL,
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),

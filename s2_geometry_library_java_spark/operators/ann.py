@@ -650,3 +650,111 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
     )
+
+
+def ivfpq_cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int | None = None,
+    sample_n: int = 2048,
+) -> DataFrame:
+    """IVF-PQ — the composition of the two quantizers above and the
+    billion-scale ANN workhorse shape: the IVF coarse cells prune WHICH
+    rows are candidates (each query probes its n_probe nearest cells, so
+    ~n_probe/n_lists of the corpus joins at all), PQ ADC prunes HOW MUCH
+    is read per candidate (m code lookups against the per-query LUT, not a
+    dim-float dot), and only the per-query ADC ``shortlist`` re-ranks by
+    exact cosine.  At n_probe == n_lists and shortlist=None every row
+    survives both pruners, so the result is EXACT (= the brute oracle);
+    pytest pins the approximate regime.
+
+    Scale shape: candidate volume = (n_probe/n_lists) x corpus rows of
+    (id, codes) — the only corpus-sized structure, never shuffled (the
+    probe side broadcasts); shortlist re-rank and final top-k are nq-way
+    windows."""
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(n_lists).select(id_col, vec_col).collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    books = pq_train_codebooks(
+        embeddings, m=m, ksub=ksub, sample_n=sample_n, id_col=id_col, vec_col=vec_col
+    )
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .orderBy(F.col(id_col).asc())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq, dim = Qn.shape
+    dsub = dim // m
+    lut = np.einsum("qjd,jkd->qjk", Qn.reshape(nq, m, dsub), books)
+    qpos_of = {int(qid): i for i, qid in enumerate(qids)}
+
+    @pandas_udf(IntegerType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32))
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    @pandas_udf(DoubleType())
+    def adc_pair(codes: pd.Series, qpos: pd.Series) -> pd.Series:
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        qp = qpos.to_numpy().astype(np.int64)
+        s = np.zeros(len(Cd))
+        for j in range(m):
+            s += lut[qp, j, Cd[:, j]]
+        return pd.Series(s)
+
+    @pandas_udf(LongType())
+    def to_qpos(qid: pd.Series) -> pd.Series:
+        return qid.map(qpos_of).astype("int64")
+
+    # query side: probe list per query, broadcast (nq * n_probe rows)
+    probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]
+    sess = embeddings.sparkSession
+    probe_df = sess.createDataFrame(
+        [(int(qid), int(c)) for qi, qid in enumerate(qids) for c in probes[qi]],
+        f"query_id long, _cell int",
+    )
+    data = pq_encode(embeddings, books, vec_col=vec_col).select(
+        id_col, "pq_codes", assign_cell(F.col(vec_col)).alias("_cell")
+    )
+    cand = data.join(F.broadcast(probe_df), "_cell").filter(F.col(id_col) != F.col("query_id"))
+    cand = cand.withColumn("_approx", adc_pair(F.col("pq_codes"), to_qpos(F.col("query_id"))))
+    if shortlist is not None:
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("_approx").desc(), F.col(id_col).asc()
+        )
+        cand = cand.withColumn("_srank", F.row_number().over(ws)).filter(
+            F.col("_srank") <= shortlist
+        )
+    qdf = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    rer = (
+        cand.select("query_id", id_col)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    sim = F.expr(cosine_expr("qvec", vec_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        rer.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
+    )
