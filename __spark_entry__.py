@@ -1688,6 +1688,23 @@ def _sequence_pack_sql() -> str:
     return prep.pack_oracle_sql("documents", PACK_CONTEXT_LEN, n_buckets=SHARD_BUCKETS)
 
 
+def q_materialize_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled fixed-context training sequences (the trainer-facing
+    output of the packing metadata): one posexplode + ONE shuffle on
+    seq_id, per-sequence state bounded by context_len."""
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.materialize_sequences(
+        load_table(spark, sf_dir, "documents"), PACK_CONTEXT_LEN, n_buckets=SHARD_BUCKETS
+    )
+
+
+def _materialize_sequences_sql() -> str:
+    from s2_geometry_library_java_spark.operators import prep
+
+    return prep.materialize_oracle_sql("documents", PACK_CONTEXT_LEN, n_buckets=SHARD_BUCKETS)
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture downsampling: per-source deterministic hash-threshold
     keep fractions (the applied form of temperature reweighting — mixture
@@ -2592,10 +2609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 ordering: the 21 queries outside the r4 window (cellid/token
     bit ops, pip rect/cap/counts, semi/anti, sig-side dedup queries,
     text/metric/percentile/polyline, bounding_caps, dedup_exact) lead, then
-    the eight NEW round-5 queries (pip_join_prefix_dist,
+    the nine NEW round-5 queries (pip_join_prefix_dist,
     pip_join_prefix_bloom, geo_neardup_salted, geo_neardup_salted_hot,
-    ann_pq, sequence_pack, domain_mixture, ann_ivfpq), then 21
-    r4-certified entries;
+    ann_pq, sequence_pack, domain_mixture, ann_ivfpq,
+    materialize_sequences), then 20 r4-certified entries;
     the r4-certified entries behind the window (caption_regions, streams,
     ANN/embedding block, polygon assembly, modalities, time-series)
     re-enter the window in round 6 by the same rule.
@@ -2633,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "domain_mixture": q_domain_mixture,
         "ann_ivfpq": q_ann_ivfpq,
+        "materialize_sequences": q_materialize_sequences,
         # --- r4-certified entries kept in-window (operator-family spread) ---
         "sql_api": q_sql_api,
         "encode_rollup": q_encode_rollup,
@@ -2719,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _sequence_pack_sql(),
         "domain_mixture": _domain_mixture_sql(),
         "ann_ivfpq": _Q_ANN_COSINE_SQL,
+        "materialize_sequences": _materialize_sequences_sql(),
         "geo_neardup_salted": _oracle_geo_neardup_sql(),
         "geo_neardup_salted_hot": _oracle_geo_neardup_sql(),
         "points_in_any_layer": _pip_exists_oracle(ALL_LAYERS, negate=False),

@@ -321,3 +321,84 @@ def temperature_fractions(
         target_total = total
     z = sum(c**tau for c in n.values())
     return {d: min(1.0, (c**tau / z) * target_total / c) for d, c in n.items() if c > 0}
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    context_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Trainer-facing completion of ``pack_concat_slices``: actually
+    assemble the fixed-context sequences.  Emits one row per sequence id:
+
+      (seq_id, n_tokens, n_docs, text)
+
+    where ``text`` is the space-joined token slice of the global stream
+    covering [seq_id*context_len, (seq_id+1)*context_len) — every sequence
+    holds exactly context_len tokens except the final partial one.
+
+    Scale shape: the packing metadata reuses the two-stage cumsum (no
+    global sort); tokens then posexplode (row count = corpus token count —
+    narrow rows, linear) and shuffle ONCE on seq_id; per-sequence state is
+    bounded by context_len tokens, so the assembling aggregation cannot
+    skew beyond the context length no matter how documents are
+    distributed."""
+    packed = pack_concat_slices(docs, context_len, key_col, text_col, n_buckets).select(
+        key_col,
+        (F.col("start_seq") * context_len + F.col("offset_in_seq")).alias("_doc_off"),
+    )
+    toks = (
+        docs.select(key_col, F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"))
+        .join(packed, key_col)
+        .select(
+            key_col,
+            (F.col("_doc_off") + F.col("_pos")).alias("_gpos"),
+            "_tok",
+        )
+    )
+    c = int(context_len)
+    return (
+        toks.groupBy(F.floor(F.col("_gpos") / F.lit(c)).cast("long").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct(key_col).cast("long").alias("n_docs"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_gpos"), F.col("_tok")))),
+                    lambda x: x["_tok"],
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def materialize_oracle_sql(
+    table: str,
+    context_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB twin of ``materialize_sequences``: global window for the doc
+    offsets, parallel unnest for (token, position), ordered string_agg."""
+    bucket = bucket_expr_sql(key_col, n_buckets)
+    return f"""
+WITH base AS (
+  SELECT {key_col}, {bucket} AS bkt, string_split({text_col}, ' ') AS toks FROM {table}
+), o AS (
+  SELECT {key_col}, toks,
+         COALESCE(SUM(len(toks)) OVER (ORDER BY bkt, {key_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off
+  FROM base
+), tok AS (
+  SELECT {key_col}, doc_off + unnest(range(len(toks))) AS gpos, unnest(toks) AS tok FROM o
+)
+SELECT CAST(FLOOR(gpos / {context_len}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS n_docs,
+       string_agg(tok, ' ' ORDER BY gpos) AS text
+FROM tok GROUP BY 1
+"""

@@ -100,3 +100,37 @@ def test_stratified_sample_composition(spark, docs):
     a = sorted(r["doc_id"] for r in sub.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in prep.stratified_sample(docs, {"src3": 0.5}).select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_materialize_sequences_exact_windows(spark, docs):
+    """Every sequence except the last must hold exactly CTX tokens; the
+    last holds the remainder; n_docs >= 1 everywhere; seq ids are the
+    contiguous range [0, n_seqs)."""
+    rows = prep.materialize_sequences(docs, CTX, n_buckets=16).orderBy("seq_id").collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == CTX
+        assert len(r["text"].split(" ")) == CTX
+        assert r["n_docs"] >= 1
+    assert rows[-1]["n_tokens"] == total - CTX * (len(rows) - 1)
+
+
+def test_materialize_sequences_reconstructs_stream(spark, docs):
+    """Concatenating the assembled sequences in seq_id order must equal
+    concatenating the raw documents in the packing's (bucket, key) order —
+    the materialization is a pure re-slicing, no token lost, duplicated,
+    or reordered."""
+    seqs = prep.materialize_sequences(docs, CTX, n_buckets=16).orderBy("seq_id").collect()
+    stream = " ".join(r["text"] for r in seqs)
+    order = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.expr(prep.bucket_expr_sql("doc_id", 16)).alias("b"),
+        )
+        .orderBy("b", "doc_id")
+        .collect()
+    )
+    direct = " ".join(r["text"] for r in order)
+    assert stream == direct
