@@ -758,3 +758,34 @@ def ivfpq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
     )
+
+
+def pq_pack_expr(codes_col: str = "pq_codes", m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
+    """Native SQL packing the m codes into ONE BIGINT (m * log2(ksub) bits
+    must fit 63): the storage-real form of the PQ column — at m=8/ksub=16
+    a vector's entire ADC footprint is 4 bytes of a single long, sortable,
+    dictionary-friendly, and unpackable with two bit ops per code."""
+    import math
+
+    bits = int(math.ceil(math.log2(ksub)))
+    if m * bits > 63:
+        raise ValueError(f"m={m} x {bits} bits exceeds a signed BIGINT")
+    terms = " + ".join(
+        f"(cast(element_at({codes_col}, {j + 1}) as bigint) * {1 << (j * bits)})"
+        for j in range(m)
+    )
+    return f"({terms})"
+
+
+def pq_unpack_expr(packed_col: str = "pq_packed", m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
+    """Native SQL inverse of ``pq_pack_expr``: array<int> of the m codes
+    via shift+mask — the ADC scan can read the packed BIGINT column and
+    unpack inside codegen, no Python touch."""
+    import math
+
+    bits = int(math.ceil(math.log2(ksub)))
+    mask = (1 << bits) - 1
+    return (
+        f"transform(sequence(0, {m - 1}), "
+        f"j -> cast((shiftright({packed_col}, j * {bits}) & {mask}) as int))"
+    )

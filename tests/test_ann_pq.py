@@ -119,3 +119,25 @@ def test_ivfpq_approximate_regime_recall(spark, emb):
     r_wide = rec(4, 150)
     assert r_narrow >= 0.8, f"ivfpq recall {r_narrow:.3f} < 0.8 at n_probe=4"
     assert r_wide >= r_narrow - 1e-9, "recall decreased with wider shortlist"
+
+
+def test_pq_pack_roundtrip_and_adc_equivalence(spark, emb):
+    """Packing the m codes into one BIGINT and unpacking natively must
+    round-trip exactly, and the PQ result computed from the unpacked
+    column must equal the result from the original array column — the
+    storage-real form loses nothing."""
+    books = ann.pq_train_codebooks(emb)
+    coded = ann.pq_encode(emb, books)
+    rt = coded.select(
+        "vec_id",
+        "pq_codes",
+        F.expr(ann.pq_unpack_expr(ann.pq_pack_expr())).alias("unpacked"),
+    )
+    assert rt.filter(F.col("pq_codes") != F.col("unpacked")).count() == 0
+    # packed footprint: m * ceil(log2(ksub)) bits fits one long
+    top = coded.select(F.expr(ann.pq_pack_expr()).alias("p")).agg(
+        F.max("p").alias("hi"), F.min("p").alias("lo")
+    ).first()
+    assert 0 <= top["lo"] and top["hi"] < (1 << (ann.PQ_M * 4))
+    with pytest.raises(ValueError, match="exceeds"):
+        ann.pq_pack_expr(m=8, ksub=1 << 60)
