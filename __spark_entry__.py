@@ -1690,8 +1690,10 @@ def _sequence_pack_sql() -> str:
 
 def q_materialize_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assembled fixed-context training sequences (the trainer-facing
-    output of the packing metadata): one posexplode + ONE shuffle on
-    seq_id, per-sequence state bounded by context_len."""
+    output of the packing metadata).  Shuffle bill: one doc-sized
+    exchange (the bucket window, text carried through — no corpus join),
+    one bounded totals agg, one token-sized seq_id agg; per-sequence
+    state bounded by context_len."""
     from s2_geometry_library_java_spark.operators import prep
 
     return prep.materialize_sequences(

@@ -499,6 +499,62 @@ PQ_M = 8  # subspaces (dim 64 -> 8 dims each)
 PQ_KSUB = 16  # codewords per subspace -> 4 bits/code, 8 B/vector vs 256 B raw
 
 
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; an all-zero row stays all-zero instead of going
+    NaN (0/0) — one bad embedding must only affect its own row, never
+    poison a trained codebook or a whole Arrow batch."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0.0, 1.0, n)
+
+
+def _collect_queries(
+    embeddings: DataFrame, n_queries: int, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, list]:
+    """ONE bounded collect of the query rows, id order: (ids, unit-vector
+    matrix for LUT/probe math, raw vectors for the exact re-rank side)."""
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .orderBy(F.col(id_col).asc())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    raw = [r[vec_col] for r in qrows]
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
+    return qids, _unit_rows(Q), raw
+
+
+def _qdf_from_collected(sess, qids: np.ndarray, Q_raw: list, id_col: str):
+    """(query_id, qvec) frame rebuilt from the ALREADY-collected query rows
+    — no second corpus scan just to recover 8 rows.  qvec arrives as
+    array<double>; ``cosine_expr`` casts elements to double on both sides,
+    so the re-rank arithmetic is bit-identical to joining the raw column."""
+    rows = [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qids, Q_raw)]
+    return sess.createDataFrame(rows, "query_id long, qvec array<double>")
+
+
+def _exact_rerank(
+    cand: DataFrame, embeddings: DataFrame, qdf: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared exact tail of every two-stage ANN path here: join the
+    candidate (query_id, id) pairs back to the raw vectors, score with the
+    fold-exact cosine, rank per query (ties id-asc — the brute/oracle
+    order), keep top k."""
+    rer = (
+        cand.select("query_id", id_col)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    sim = F.expr(cosine_expr("qvec", vec_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        rer.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
+    )
+
+
 def pq_train_codebooks(
     embeddings: DataFrame,
     m: int = PQ_M,
@@ -511,13 +567,19 @@ def pq_train_codebooks(
     """Deterministic per-subspace Lloyd k-means over a bounded id-ordered
     sample (ONE collect, <= sample_n rows — same bounded-dimension-collect
     contract as the IVF centroid train above).  Vectors are L2-normalized
-    first so squared-L2 codeword distance orders like cosine.  Init is the
-    first ksub sample rows per subspace (no RNG in the train loop — bit-
-    reproducible across runs and cluster sizes); an emptied cluster keeps
-    its previous centroid.  Returns codebooks of shape (m, ksub, dim//m)."""
+    first so squared-L2 codeword distance orders like cosine (zero-norm
+    rows stay zero, see _unit_rows).  Init is the first ksub sample rows
+    per subspace (no RNG in the train loop — bit-reproducible across runs
+    and cluster sizes); an emptied cluster keeps its previous centroid.
+    Returns codebooks of shape (m, ksub, dim//m)."""
     rows = embeddings.orderBy(F.col(id_col).asc()).limit(sample_n).select(vec_col).collect()
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    if len(X) < ksub:
+        raise ValueError(
+            f"ksub={ksub} exceeds the {len(X)} sampled training rows; "
+            f"lower ksub or raise sample_n"
+        )
+    Xn = _unit_rows(X)
     dim = Xn.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -544,14 +606,13 @@ def pq_encode(
     vector L2-normalizes and each subspace snaps to its nearest codeword —
     one vectorized distance matmul per (subspace, Arrow batch).  At 100 TB
     this column IS the scan side: m small ints per row (bit-packable to
-    m*log2(ksub) bits) instead of dim floats, so the ADC pass reads ~32x
-    less than a raw-vector scan."""
+    m*log2(ksub) bits via pq_pack_expr) instead of dim floats, so the ADC
+    pass reads ~32x less than a raw-vector scan."""
     m, ksub, dsub = codebooks.shape
 
     @pandas_udf(ArrayType(IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(np.stack(vecs.to_numpy()).astype(np.float64))
         out = np.empty((len(Mn), m), dtype=np.int32)
         for j in range(m):
             sub = Mn[:, j * dsub : (j + 1) * dsub]
@@ -561,6 +622,13 @@ def pq_encode(
         return pd.Series(list(out))
 
     return embeddings.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def _pq_lut(Qn: np.ndarray, books: np.ndarray, m: int) -> np.ndarray:
+    """LUT[qi, j, c] = <query subvector, codeword> — ADC similarity is
+    sum_j LUT[qi, j, codes[j]] (m table adds per row, no float dot)."""
+    nq, dim = Qn.shape
+    return np.einsum("qjd,jkd->qjk", Qn.reshape(nq, m, dim // m), books)
 
 
 def pq_cosine_topk(
@@ -577,14 +645,12 @@ def pq_cosine_topk(
     """PQ asymmetric-distance (ADC) top-k with exact re-rank — the
     FAISS-style compressed-corpus ANN: train codebooks (bounded collect),
     encode the corpus to m-byte codes, scan codes against per-query lookup
-    tables (LUT[q, j, code] = dot of query subvector with codeword — m table
-    adds per row instead of dim multiplies), take the per-query ADC
-    ``shortlist``, then re-rank ONLY the shortlist by exact cosine against
-    the raw vectors (a small join back on id).  shortlist=None keeps every
-    candidate, making the result EXACT (= ``cosine_topk`` / the brute
-    DuckDB oracle) while still executing the full ADC plan — the driver
-    gate covers the plan shape, pytest pins the approximate regime's
-    recall-vs-shortlist curve.
+    tables, take the per-query ADC ``shortlist``, then re-rank ONLY the
+    shortlist by exact cosine against the raw vectors (a small join back
+    on id).  shortlist=None keeps every candidate, making the result
+    EXACT (= ``cosine_topk`` / the brute DuckDB oracle) while still
+    executing the full ADC plan — the driver gate covers the plan shape,
+    pytest pins the approximate regime's recall-vs-shortlist curve.
 
     Scale shape: the corpus never shuffles — the ADC pass is one narrow
     projection (id, codes) with the LUTs closed over (nq*m*ksub doubles),
@@ -593,19 +659,9 @@ def pq_cosine_topk(
     books = pq_train_codebooks(
         embeddings, m=m, ksub=ksub, sample_n=sample_n, id_col=id_col, vec_col=vec_col
     )
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .orderBy(F.col(id_col).asc())
-        .select(id_col, vec_col)
-        .collect()
-    )
-    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    nq, dim = Qn.shape
-    dsub = dim // m
-    # LUT[qi, j, c] = <q_sub, codeword>; ADC sim = sum_j LUT[qi, j, codes[j]]
-    lut = np.einsum("qjd,jkd->qjk", Qn.reshape(nq, m, dsub), books)
+    qids, Qn, qraw = _collect_queries(embeddings, n_queries, id_col, vec_col)
+    nq = len(qids)
+    lut = _pq_lut(Qn, books, m)
 
     from pyspark.sql.types import DoubleType
 
@@ -633,23 +689,8 @@ def pq_cosine_topk(
         pairs = pairs.withColumn("_srank", F.row_number().over(ws)).filter(
             F.col("_srank") <= shortlist
         )
-    qdf = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    )
-    cand = (
-        pairs.select("query_id", id_col)
-        .join(embeddings.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), "query_id")
-    )
-    sim = F.expr(cosine_expr("qvec", vec_col))
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("_sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
-    )
+    qdf = _qdf_from_collected(sess, qids, qraw, id_col)
+    return _exact_rerank(pairs, embeddings, qdf, k, id_col, vec_col)
 
 
 def ivfpq_cosine_topk(
@@ -682,29 +723,17 @@ def ivfpq_cosine_topk(
     cents = (
         embeddings.orderBy(F.col(id_col).asc()).limit(n_lists).select(id_col, vec_col).collect()
     )
-    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _unit_rows(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents]))
     books = pq_train_codebooks(
         embeddings, m=m, ksub=ksub, sample_n=sample_n, id_col=id_col, vec_col=vec_col
     )
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .orderBy(F.col(id_col).asc())
-        .select(id_col, vec_col)
-        .collect()
-    )
-    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    nq, dim = Qn.shape
-    dsub = dim // m
-    lut = np.einsum("qjd,jkd->qjk", Qn.reshape(nq, m, dsub), books)
+    qids, Qn, qraw = _collect_queries(embeddings, n_queries, id_col, vec_col)
+    lut = _pq_lut(Qn, books, m)
     qpos_of = {int(qid): i for i, qid in enumerate(qids)}
 
     @pandas_udf(IntegerType())
     def assign_cell(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(np.stack(vecs.to_numpy()).astype(np.float64))
         return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32))
 
     from pyspark.sql.types import DoubleType, LongType
@@ -727,7 +756,7 @@ def ivfpq_cosine_topk(
     sess = embeddings.sparkSession
     probe_df = sess.createDataFrame(
         [(int(qid), int(c)) for qi, qid in enumerate(qids) for c in probes[qi]],
-        f"query_id long, _cell int",
+        "query_id long, _cell int",
     )
     data = pq_encode(embeddings, books, vec_col=vec_col).select(
         id_col, "pq_codes", assign_cell(F.col(vec_col)).alias("_cell")
@@ -741,23 +770,8 @@ def ivfpq_cosine_topk(
         cand = cand.withColumn("_srank", F.row_number().over(ws)).filter(
             F.col("_srank") <= shortlist
         )
-    qdf = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    )
-    rer = (
-        cand.select("query_id", id_col)
-        .join(embeddings.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), "query_id")
-    )
-    sim = F.expr(cosine_expr("qvec", vec_col))
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        rer.withColumn("_sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", F.round("_sim", 9).alias("sim"))
-    )
+    qdf = _qdf_from_collected(sess, qids, qraw, id_col)
+    return _exact_rerank(cand, embeddings, qdf, k, id_col, vec_col)
 
 
 def pq_pack_expr(codes_col: str = "pq_codes", m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
@@ -780,7 +794,9 @@ def pq_pack_expr(codes_col: str = "pq_codes", m: int = PQ_M, ksub: int = PQ_KSUB
 def pq_unpack_expr(packed_col: str = "pq_packed", m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
     """Native SQL inverse of ``pq_pack_expr``: array<int> of the m codes
     via shift+mask — the ADC scan can read the packed BIGINT column and
-    unpack inside codegen, no Python touch."""
+    unpack inside codegen, no Python touch.  Codes equal implies ADC
+    equal (ADC is a pure function of the codes), so the round-trip gate in
+    tests/test_ann_pq.py is the storage-losslessness proof."""
     import math
 
     bits = int(math.ceil(math.log2(ksub)))

@@ -121,10 +121,38 @@ def shard_by_token_budget(
     result equals the single global window ``SUM() OVER (ORDER BY bucket,
     key ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` the DuckDB oracle runs,
     without ever materializing a one-partition global sort."""
+    return global_token_offsets(docs, key_col, text_col, n_buckets).select(
+        key_col,
+        "bucket",
+        "n_tokens",
+        F.floor(F.col("_o") / F.lit(int(budget_tokens))).cast("long").alias("shard"),
+    )
+
+
+def global_token_offsets(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(key, bucket, n_tokens, _o [, passthrough...]): each document's
+    exclusive global token offset in the deterministic (bucket, key)
+    concatenation order — THE shared stream definition behind token
+    shards, sequence packing, and sequence materialization (one
+    implementation so the three can never drift apart).  Two-stage
+    cumsum: per-bucket totals (one narrow groupBy over n_buckets keys,
+    bounded collect — column pruning drops any passthrough columns from
+    that aggregation scan) -> broadcast exclusive bucket offsets ->
+    per-bucket window cumsum.  Equals the single global window the DuckDB
+    oracles run, without the one-partition global sort.  ``passthrough``
+    carries extra columns (e.g. the text itself) through the window so
+    consumers need no corpus-sized join back to the source."""
     base = docs.select(
         F.col(key_col),
         F.expr(bucket_expr_sql(key_col, n_buckets)).cast("int").alias("bucket"),
         F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+        *[F.col(c) for c in passthrough],
     )
     totals = {
         r["bucket"]: r["total"]
@@ -144,14 +172,10 @@ def shard_by_token_budget(
     return (
         base.join(F.broadcast(off_df), "bucket")
         .withColumn(
-            "shard",
-            F.floor(
-                (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset"))
-                / F.lit(int(budget_tokens))
-            ).cast("long"),
+            "_o",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset")).cast("long"),
         )
         .drop("_offset")
-        .select(key_col, "bucket", "n_tokens", "shard")
     )
 
 
@@ -199,44 +223,19 @@ def pack_concat_slices(
     ranging over documents with start_seq <= s <= end_seq — an equi/range
     probe on a cumsum column, no data movement here at all.
 
-    Scale shape: identical two-stage cumulative sum as
-    ``shard_by_token_budget`` (bounded n_buckets-row collect for exclusive
-    bucket offsets, per-bucket window for the intra-bucket cumsum) — the
+    Scale shape: the shared ``global_token_offsets`` two-stage cumulative
+    sum (bounded n_buckets-row collect for exclusive bucket offsets,
+    per-bucket window for the intra-bucket cumsum) — the
     single-global-window formulation the DuckDB oracle runs would
     serialize 10^12 rows through one partition."""
-    base = docs.select(
-        F.col(key_col),
-        F.expr(bucket_expr_sql(key_col, n_buckets)).cast("int").alias("bucket"),
-        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
-    )
-    totals = {
-        r["bucket"]: r["total"]
-        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("total")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((b, acc))
-        acc += int(totals[b])
-    spark = docs.sparkSession
-    off_df = spark.createDataFrame(offsets, "bucket int, _offset long")
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy(key_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     c = int(context_len)
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset")
-    return (
-        base.join(F.broadcast(off_df), "bucket")
-        .withColumn("_o", start)
-        .select(
-            key_col,
-            "bucket",
-            "n_tokens",
-            F.floor(F.col("_o") / F.lit(c)).cast("long").alias("start_seq"),
-            F.floor((F.col("_o") + F.col("n_tokens") - 1) / F.lit(c)).cast("long").alias("end_seq"),
-            (F.col("_o") % F.lit(c)).cast("long").alias("offset_in_seq"),
-        )
+    return global_token_offsets(docs, key_col, text_col, n_buckets).select(
+        key_col,
+        "bucket",
+        "n_tokens",
+        F.floor(F.col("_o") / F.lit(c)).cast("long").alias("start_seq"),
+        F.floor((F.col("_o") + F.col("n_tokens") - 1) / F.lit(c)).cast("long").alias("end_seq"),
+        (F.col("_o") % F.lit(c)).cast("long").alias("offset_in_seq"),
     )
 
 
@@ -275,10 +274,14 @@ def stratified_case_sql(
     domain's rows (domains absent from the dict are DROPPED) — pure
     integer hash-threshold arithmetic, identical text in Spark SQL and
     DuckDB.  Thresholds are Python-computed integer literals, so there is
-    no cross-engine float normalization anywhere."""
+    no cross-engine float normalization anywhere.  Domain names are
+    DATA-derived (groupBy(domain) feeds temperature_fractions feeds this),
+    so single quotes are escaped the ANSI way ('' — same rule in both
+    dialects)."""
     h = _hash_expr(key_col, salt)
     arms = " ".join(
-        f"WHEN '{d}' THEN {int(min(max(f, 0.0), 1.0) * HASH_MOD)}"
+        f"WHEN '{d.replace(chr(39), chr(39) * 2)}' THEN "
+        f"{int(min(max(f, 0.0), 1.0) * HASH_MOD)}"
         for d, f in sorted(fractions.items())
     )
     return f"({h} < (CASE {domain_col} {arms} ELSE 0 END))"
@@ -339,24 +342,24 @@ def materialize_sequences(
     covering [seq_id*context_len, (seq_id+1)*context_len) — every sequence
     holds exactly context_len tokens except the final partial one.
 
-    Scale shape: the packing metadata reuses the two-stage cumsum (no
-    global sort); tokens then posexplode (row count = corpus token count —
-    narrow rows, linear) and shuffle ONCE on seq_id; per-sequence state is
-    bounded by context_len tokens, so the assembling aggregation cannot
-    skew beyond the context length no matter how documents are
-    distributed."""
-    packed = pack_concat_slices(docs, context_len, key_col, text_col, n_buckets).select(
+    Scale shape: the shared ``global_token_offsets`` cumsum carries the
+    text through its per-bucket window (``passthrough`` — no join back to
+    the corpus), tokens then posexplode in place (row count = corpus token
+    count — narrow rows, linear, no shuffle of their own), and the only
+    token-sized exchange is the final seq_id aggregation; per-sequence
+    state is bounded by context_len tokens, so assembly cannot skew beyond
+    the context length no matter how documents are distributed.  Total
+    shuffle bill: one doc-sized exchange (the bucket window, text
+    included), one bounded totals agg, one token-sized seq_id agg."""
+    off = global_token_offsets(docs, key_col, text_col, n_buckets, passthrough=(text_col,))
+    toks = off.select(
         key_col,
-        (F.col("start_seq") * context_len + F.col("offset_in_seq")).alias("_doc_off"),
-    )
-    toks = (
-        docs.select(key_col, F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"))
-        .join(packed, key_col)
-        .select(
-            key_col,
-            (F.col("_doc_off") + F.col("_pos")).alias("_gpos"),
-            "_tok",
-        )
+        "_o",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    ).select(
+        key_col,
+        (F.col("_o") + F.col("_pos")).alias("_gpos"),
+        "_tok",
     )
     c = int(context_len)
     return (

@@ -123,9 +123,10 @@ def test_ivfpq_approximate_regime_recall(spark, emb):
 
 def test_pq_pack_roundtrip_and_adc_equivalence(spark, emb):
     """Packing the m codes into one BIGINT and unpacking natively must
-    round-trip exactly, and the PQ result computed from the unpacked
-    column must equal the result from the original array column — the
-    storage-real form loses nothing."""
+    round-trip exactly.  Codes equal implies ADC equal — ADC similarity
+    is a pure function of the codes — so exact round-trip IS the
+    storage-losslessness proof for the packed form; no separate top-k
+    rerun is needed."""
     books = ann.pq_train_codebooks(emb)
     coded = ann.pq_encode(emb, books)
     rt = coded.select(
@@ -141,3 +142,21 @@ def test_pq_pack_roundtrip_and_adc_equivalence(spark, emb):
     assert 0 <= top["lo"] and top["hi"] < (1 << (ann.PQ_M * 4))
     with pytest.raises(ValueError, match="exceeds"):
         ann.pq_pack_expr(m=8, ksub=1 << 60)
+
+
+def test_pq_train_guards_and_zero_norm_robustness(spark, emb):
+    """ksub beyond the sampled rows must fail with a CLEAR error (not a
+    mid-train numpy broadcast), and a zero-norm embedding must stay a
+    zero row — affecting only itself — rather than poisoning every
+    codebook with NaN."""
+    with pytest.raises(ValueError, match="exceeds the"):
+        ann.pq_train_codebooks(emb, ksub=4096)
+    rows = [(0, [0.0] * 64)] + [
+        (i, [float((i * 37 + j * 11) % 13 - 6) for j in range(64)]) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = ann.pq_train_codebooks(df, ksub=8, sample_n=40)
+    assert np.isfinite(books).all()
+    coded = ann.pq_encode(df, books)
+    got = coded.select(F.min(F.array_min("pq_codes")), F.max(F.array_max("pq_codes"))).first()
+    assert got[0] >= 0 and got[1] < 8

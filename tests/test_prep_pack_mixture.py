@@ -134,3 +134,22 @@ def test_materialize_sequences_reconstructs_stream(spark, docs):
     )
     direct = " ".join(r["text"] for r in order)
     assert stream == direct
+
+
+def test_stratified_sample_escapes_quoted_domains(spark):
+    """Domain names are data-derived; a single quote in one must not break
+    (or inject into) the generated predicate in either dialect."""
+    import duckdb
+
+    rows = [(1, "o'reilly"), (2, "o'reilly"), (3, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = prep.stratified_sample(df, {"o'reilly": 1.0}, key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    pred = prep.stratified_case_sql({"o'reilly": 1.0}, key_col="doc_id")
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 'o''reilly'), (3, 'plain')) v(doc_id, source)")
+        kept = con.execute(f"SELECT doc_id FROM t WHERE {pred}").fetchall()
+    finally:
+        con.close()
+    assert [r[0] for r in kept] == [1]
